@@ -1,0 +1,370 @@
+"""DocAnnotator — dictionary NER + context-vector linking for ONE document.
+
+Pure Python/numpy, no Ray: this is the unit the annotate actor-pool stage
+calls per row, and the unit the parity tests exercise directly.  Semantics
+reimplemented from the reference:
+
+* greedy longest-match NER      — /root/reference/medcat/ner/vocab_based_ner.py:24-97
+* annotation acceptance rules   — /root/reference/medcat/ner/vocab_based_annotator.py:13-65
+* linker decision rules         — /root/reference/medcat/linking/context_based_linker.py:57-138
+* context vectors + similarity  — /root/reference/medcat/linking/vector_context_model.py:29-185
+* overlap resolution            — /root/reference/medcat/utils/postprocessing.py:37-62
+* output projection             — /root/reference/medcat/cat.py:1729-1795 (flattened schema, FIXTURES.md F4)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from medcat_ray.config import EngineConfig
+from medcat_ray.functions.text import (SpellChecker, Token, process_text,
+                                       STOPWORDS)
+from medcat_ray.state.cdb import CDB
+from medcat_ray.state.vocab import Vocab
+
+
+class Entity:
+    """A detected + linked mention (reference Span extensions, medcat/pipe.py:112-163)."""
+
+    __slots__ = ("tokens", "detected_name", "link_candidates", "ent_id",
+                 "cui", "context_similarity", "start", "end")
+
+    def __init__(self, tokens: List[Token], detected_name: str,
+                 link_candidates: List[str], ent_id: int) -> None:
+        self.tokens = tokens
+        self.detected_name = detected_name
+        self.link_candidates = link_candidates
+        self.ent_id = ent_id
+        self.cui: Optional[str] = None
+        self.context_similarity: float = 0.0
+        self.start = tokens[0].start
+        self.end = tokens[-1].end
+
+
+class DocAnnotator:
+    def __init__(self, cdb: CDB, vocab: Vocab,
+                 config: Optional[EngineConfig] = None,
+                 stopwords: Optional[Set[str]] = None) -> None:
+        self.cdb = cdb
+        self.vocab = vocab
+        self.config = config or cdb.config
+        self.stopwords = STOPWORDS if stopwords is None else stopwords
+        self.spell_checker = SpellChecker(cdb.vocab, self.config) \
+            if self.config.spell_check else None
+        # Pre-normalize CUI vectors once: unitvec of each context vector
+        # (reference recomputes unitvec per similarity call,
+        # vector_context_model.py:131 — same value, done once here).
+        self._cui_unit_vectors: Dict[str, Dict[str, np.ndarray]] = {}
+        for cui, ctxs in cdb.cui2context_vectors.items():
+            self._cui_unit_vectors[cui] = {
+                t: _unitvec(np.asarray(v, dtype=np.float64))
+                for t, v in ctxs.items()}
+
+    # -- public API -------------------------------------------------------
+
+    def annotate(self, text: str) -> List[dict]:
+        """Full per-document pipeline; returns flattened entity dicts
+        (only the non-overlapping "main" annotations, like
+        ``CAT.get_entities``)."""
+        return self.annotate_full(text)["entities"]
+
+    def annotate_full(self, text: str) -> dict:
+        """Like :meth:`annotate` but also exposing the intermediate linked
+        entities (the reference's ``doc._.ents`` after the Linker — sorted
+        by span length desc as a side effect of create_main_ann,
+        postprocessing.py:47) and the token list, for parity tests."""
+        text = text[: self.config.max_document_length]
+        tokens = process_text(text, self.config, self.spell_checker,
+                              self.stopwords)
+        raw_ents = self._ner(tokens)
+        linked = self._link(raw_ents, tokens)
+        linked_sorted = sorted(linked, key=lambda e: len(text[e.start:e.end]),
+                               reverse=True)
+        main = self._resolve_overlaps(linked, text)
+        return {"entities": self._project(main, text),
+                "linked": linked_sorted, "tokens": tokens}
+
+    # -- NER (M6-M7) ------------------------------------------------------
+
+    def _ner(self, tokens: List[Token]) -> List[Entity]:
+        """Greedy longest-match over snames/name2cuis
+        (reference NER.__call__, vocab_based_ner.py:36-97)."""
+        cdb = self.cdb
+        cfg = self.config
+        sep = cfg.separator
+        snames = cdb.snames
+        name2cuis = cdb.name2cuis
+        max_skip = cfg.max_skip_tokens
+        try_reverse = cfg.try_reverse_word_order
+        ents: List[Entity] = []
+
+        _doc = [t for t in tokens if not t.to_skip]
+        n = len(_doc)
+        for i in range(n):
+            tkn = _doc[i]
+            tkns = [tkn]
+            name = ""
+            nv_in_names = None
+            nv_in_snames = None
+            for name_version in (tkn.norm, tkn.lower):
+                if nv_in_snames is None and name_version in snames:
+                    nv_in_snames = name_version
+                if nv_in_names is None and name_version in name2cuis:
+                    nv_in_names = name_version
+            if nv_in_names is not None:
+                name = nv_in_names
+            elif nv_in_snames is not None:
+                name = nv_in_snames
+            if name in name2cuis and not tkn.is_stop:
+                self._maybe_annotate(name, tkns, ents)
+            if not name:
+                continue
+            for j in range(i + 1, n):
+                if _doc[j].idx - _doc[j - 1].idx - 1 > max_skip:
+                    break
+                tkn = _doc[j]
+                tkns.append(tkn)
+                name_changed = False
+                name_reverse = None
+                for name_version in (tkn.norm, tkn.lower):
+                    _name = name + sep + name_version
+                    if _name in snames:
+                        name = _name
+                        name_changed = True
+                        break
+                    if try_reverse:
+                        _name_rev = name_version + sep + name
+                        if _name_rev in snames:
+                            name_reverse = _name_rev
+                if name_changed:
+                    if name in name2cuis:
+                        self._maybe_annotate(name, tkns, ents)
+                elif name_reverse is not None:
+                    if name_reverse in name2cuis:
+                        self._maybe_annotate(name_reverse, tkns, ents)
+                else:
+                    break
+        return ents
+
+    def _maybe_annotate(self, name: str, tkns: List[Token],
+                        ents: List[Entity]) -> None:
+        """Acceptance rules (reference maybe_annotate_name,
+        vocab_based_annotator.py:13-65)."""
+        cfg = self.config
+        cdb = self.cdb
+        if cfg.check_upper_case_names and cdb.name_isupper.get(name, False):
+            if not all(t.is_upper for t in tkns):
+                return
+        if len(name) < cfg.min_name_len:
+            return
+        if len(name) >= cfg.upper_case_limit_len or \
+                (len(tkns) == 1 and tkns[0].is_upper):
+            ents.append(Entity(list(tkns), name, cdb.name2cuis[name], len(ents)))
+
+    # -- Linker (M8-M10) ---------------------------------------------------
+
+    def _link(self, ents: List[Entity], tokens: List[Token]) -> List[Entity]:
+        """Inference-path linking (reference Linker.__call__,
+        context_based_linker.py:89-129)."""
+        cfg = self.config
+        cdb = self.cdb
+        linked: List[Entity] = []
+        ctx_cache: Optional[_DocContext] = None
+
+        for ent in ents:
+            name = ent.detected_name
+            cuis = ent.link_candidates
+            if not cuis:
+                continue
+            do_disamb = (len(name) < cfg.disamb_length_limit
+                         or (len(cuis) == 1 and
+                             cdb.name2cuis2status[name][cuis[0]] in ("N", "PD"))
+                         or len(cuis) > 1)
+            if do_disamb:
+                if ctx_cache is None:
+                    ctx_cache = _DocContext(tokens, self.vocab, cfg)
+                cui, sim = self._disambiguate(cuis, ent, name, ctx_cache)
+            else:
+                cui = cuis[0]
+                if cfg.always_calculate_similarity:
+                    if ctx_cache is None:
+                        ctx_cache = _DocContext(tokens, self.vocab, cfg)
+                    sim = self._similarity(cui, ctx_cache.vectors_for(ent))
+                else:
+                    sim = 1.0  # direct link (context_based_linker.py:115)
+
+            if cui and cfg.check_filters(cui):
+                th_type = cfg.similarity_threshold_type
+                threshold = cfg.similarity_threshold
+                if th_type == "dynamic":
+                    threshold = cdb.cui2average_confidence.get(cui, 0.0) * threshold
+                if sim >= threshold:
+                    ent.cui = cui
+                    ent.context_similarity = sim
+                    linked.append(ent)
+        return linked
+
+    def _similarity(self, cui: str, vectors: Dict[str, np.ndarray]) -> float:
+        """Weighted cosine over context sizes (reference _similarity,
+        vector_context_model.py:112-139)."""
+        cfg = self.config
+        cdb = self.cdb
+        cui_vecs = self._cui_unit_vectors.get(cui)
+        if cui_vecs and cdb.cui2count_train.get(cui, 0) >= cfg.train_count_threshold:
+            sim = 0.0
+            for ctx_type, weight in cfg.context_vector_weights.items():
+                v = vectors.get(ctx_type)
+                cv = cui_vecs.get(ctx_type)
+                if v is not None and cv is not None:
+                    sim += weight * float(np.dot(_unitvec(v), cv))
+            return sim
+        return -1.0
+
+    def _disambiguate(self, cuis: List[str], ent: Entity, name: str,
+                      ctx: "_DocContext") -> Tuple[Optional[str], float]:
+        """Reference ContextModel.disambiguate
+        (vector_context_model.py:141-185), incl. prefer_primary_name and
+        prefer_frequent_concepts boosts."""
+        cfg = self.config
+        cdb = self.cdb
+        if cfg.filter_before_disamb:
+            cuis = [c for c in cuis if cfg.check_filters(c)]
+        if not cuis:
+            return None, 0.0
+        vectors = ctx.vectors_for(ent)
+        sims = [self._similarity(c, vectors) for c in cuis]
+
+        if cfg.prefer_primary_name > 0:
+            statuses = cdb.name2cuis2status.get(name, {})
+            for i, cui in enumerate(cuis):
+                if sims[i] > 0 and statuses.get(cui, "") in ("P", "PD"):
+                    sims[i] = min(0.99, sims[i] + sims[i] * cfg.prefer_primary_name)
+        if cfg.prefer_frequent_concepts > 0:
+            cnts = [cdb.cui2count_train.get(c, 0) for c in cuis]
+            m = min(cnts) if min(cnts) > 0 else 1
+            scales = [np.log10(cnt / m) * cfg.prefer_frequent_concepts
+                      if cnt > 10 else 0.0 for cnt in cnts]
+            sims = [min(0.99, s + s * scales[i]) for i, s in enumerate(sims)]
+
+        mx = int(np.argmax(sims))
+        return cuis[mx], float(sims[mx])
+
+    # -- overlap resolution (M11) -----------------------------------------
+
+    def _resolve_overlaps(self, ents: List[Entity], text: str) -> List[Entity]:
+        """Longest-span-first token-claim sweep (reference create_main_ann,
+        postprocessing.py:37-62; stable sort by raw span length desc)."""
+        ordered = sorted(ents, key=lambda e: len(text[e.start:e.end]),
+                         reverse=True)
+        claimed: Set[int] = set()
+        main: List[Entity] = []
+        for ent in ordered:
+            idxs = [t.idx for t in ent.tokens]
+            if any(ix in claimed for ix in idxs):
+                continue
+            claimed.update(idxs)
+            main.append(ent)
+        return main
+
+    # -- projection (M12-M13) ---------------------------------------------
+
+    def _project(self, ents: List[Entity], text: str) -> List[dict]:
+        cdb = self.cdb
+        cui2group = cdb.addl_info.get("cui2group", {})
+        out = []
+        for ent in sorted(ents, key=lambda e: e.start):
+            cui = ent.cui
+            if cui2group:
+                cui = cui2group.get(cui, cui)  # M12, postprocessing.py:12-14
+            out.append({
+                "ent_id": ent.ent_id,
+                "cui": cui,
+                "start": ent.start,
+                "end": ent.end,
+                "source_value": text[ent.start:ent.end],
+                "detected_name": ent.detected_name,
+                "context_similarity": float(ent.context_similarity),
+                "type_ids": sorted(cdb.cui2type_ids.get(cui, set())),
+                "pretty_name": cdb.cui2preferred_name.get(cui, ""),
+            })
+        return out
+
+
+class _DocContext:
+    """Per-document vectorized context state: one vocab gather per doc.
+
+    Precomputes, for every token: its row in the vocab matrix (-1 if absent)
+    and whether it is a context token (not skip/stop/digit/punct — reference
+    get_context_tokens, vector_context_model.py:44-50).  Entity context
+    vectors are then numpy slices + gathers instead of per-token dict walks.
+    """
+
+    def __init__(self, tokens: List[Token], vocab: Vocab,
+                 config: EngineConfig) -> None:
+        self.tokens = tokens
+        self.vocab = vocab
+        self.config = config
+        n = len(tokens)
+        self.vec_idx = np.fromiter(
+            (vocab.word2idx.get(t.lower, -1) for t in tokens),
+            dtype=np.int64, count=n)
+        self.ctx_ok = np.fromiter(
+            (not (t.to_skip or t.is_stop or t.is_digit or t.is_punct)
+             for t in tokens), dtype=bool, count=n)
+        # distance-decay weights, precomputed out to the largest window
+        max_size = max(config.context_vector_sizes.values(), default=0)
+        from medcat_ray.config import weighted_average
+        self.decay = np.array([weighted_average(s) for s in range(max_size)],
+                              dtype=np.float64)
+
+    def vectors_for(self, ent: Entity) -> Dict[str, np.ndarray]:
+        """Reference get_context_vectors (vector_context_model.py:54-93):
+        mean of [decay-weighted left] + [center] + [decay-weighted right]
+        vocab vectors, per context size."""
+        cfg = self.config
+        V = self.vocab.vectors
+        start_ind = ent.tokens[0].idx
+        end_ind = ent.tokens[-1].idx
+        vectors: Dict[str, np.ndarray] = {}
+        # Center = the full token range of the span INCLUDING skip-gap tokens
+        # (reference: tokens_center = list(entity), a Span over
+        # doc[start:end+1] — vector_context_model.py:48).
+        center_idx = self.vec_idx[start_ind:end_ind + 1]
+        center_idx = center_idx[center_idx >= 0]
+
+        for ctx_type, size in cfg.context_vector_sizes.items():
+            lo = max(0, start_ind - size)
+            left_sel = np.nonzero(self.ctx_ok[lo:start_ind])[0] + lo
+            left_sel = left_sel[::-1]  # closest-to-entity first
+            right_hi = min(len(self.tokens), end_ind + 1 + size)
+            right_sel = np.nonzero(self.ctx_ok[end_ind + 1:right_hi])[0] + end_ind + 1
+
+            parts = []
+            if left_sel.size:
+                idx = self.vec_idx[left_sel]
+                mask = idx >= 0
+                if mask.any():
+                    # step enumerates ALL filtered-context tokens (including
+                    # vocab-missing ones) — reference enumerate() semantics.
+                    steps = np.nonzero(mask)[0]
+                    parts.append(V[idx[mask]] * self.decay[steps][:, None])
+            if not cfg.context_ignore_center_tokens and center_idx.size:
+                parts.append(V[center_idx])
+            if right_sel.size:
+                idx = self.vec_idx[right_sel]
+                mask = idx >= 0
+                if mask.any():
+                    steps = np.nonzero(mask)[0]
+                    parts.append(V[idx[mask]] * self.decay[steps][:, None])
+            if parts:
+                stacked = np.concatenate(parts, axis=0)
+                vectors[ctx_type] = stacked.mean(axis=0)
+        return vectors
+
+
+def _unitvec(v: np.ndarray) -> np.ndarray:
+    # Reference medcat/utils/matutils.py:5
+    norm = np.linalg.norm(v)
+    return v / norm if norm > 0 else v

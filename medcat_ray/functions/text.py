@@ -1,0 +1,304 @@
+"""Pure-Python text primitives: tokenizer, tagger, lemmatizer, normalizer,
+spell checker.
+
+These reimplement the *semantics* of the reference's spaCy-based
+preprocessing without spaCy (not available here, and not needed for a
+Ray-native engine):
+
+* tokenizer   — ``spacy_split_all`` (/root/reference/medcat/preprocessing/tokenizers.py:38-54):
+                every char outside ``[A-Za-z0-9@]`` splits; each such char is
+                its own token; whitespace separates and is dropped.
+* tagger      — ``tag_skip_and_punct`` (/root/reference/medcat/preprocessing/taggers.py:28-52).
+* normalizer  — ``TokenNormalizer`` (/root/reference/medcat/utils/normalizers.py:162-205),
+                with a frozen rule lemmatizer instead of spaCy's
+                ``en_core_web_md`` (documented deviation, SURVEY.md §7.4): the
+                SAME lemmatizer is used at CDB-build time and at annotation
+                time, so name matching is internally consistent.
+* spell check — ``BasicSpellChecker`` (/root/reference/medcat/utils/normalizers.py:10-124),
+                with deterministic tie-breaking (the reference's
+                ``max(set, key=P)`` depends on set iteration order; we sort
+                candidates first — SURVEY.md §7.4).
+
+Everything here is stateless module-level code plus small classes that are
+constructed once per Ray actor (in the annotate stage ``__init__``) and then
+invoked per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Optional, Set
+
+from medcat_ray.config import EngineConfig, PUNCT_CHECKER, word_skipper_pattern
+
+# ---------------------------------------------------------------------------
+# Tokenizer (M2)
+# ---------------------------------------------------------------------------
+
+# spacy_split_all semantics: token chars are [A-Za-z0-9@]; any other
+# non-space char is a single-char token (the reference's infix regex matches
+# one char at a time, so runs of punctuation become one token per char).
+#
+# Whitespace: spaCy splits on single ' ' separators but EMITS tokens for all
+# other whitespace — each extra space in a run, and each '\n'/'\t' char,
+# occupies a token position (tagged punct+skip).  This matters for
+# ``max_skip_tokens`` gap arithmetic: the reference golden
+# (/root/reference/tests/test_ner.py:62,79-84) only holds if "Movar    Viruses"
+# (4 spaces) has a 3-token gap.
+_TOKEN_RE = re.compile(r"[A-Za-z0-9@]+|[^A-Za-z0-9@\s]")
+_TOKEN_RE_DIACRITICS = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9@\s]")
+
+_CONTAINS_NUMBER = re.compile(r"[0-9]+")  # medcat/utils/normalizers.py:7
+
+
+class Token:
+    """One annotated token; the transient per-doc IR (SURVEY.md §1.1)."""
+
+    __slots__ = ("text", "lower", "start", "end", "idx",
+                 "is_punct", "to_skip", "is_stop", "is_digit", "is_upper",
+                 "norm")
+
+    def __init__(self, text: str, start: int, end: int, idx: int) -> None:
+        self.text = text
+        self.lower = text.lower()
+        self.start = start
+        self.end = end
+        self.idx = idx
+        self.is_punct = False
+        self.to_skip = False
+        self.is_stop = False
+        self.is_digit = text.isdigit()
+        self.is_upper = text.isupper()
+        self.norm = self.lower
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Token({self.text!r}@{self.start})"
+
+
+_WORD_RE = re.compile(r"[A-Za-z0-9@]+")
+_WORD_RE_DIACRITICS = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+")
+
+
+def tokenize(text: str, diacritics: bool = False) -> List[Token]:
+    """Split ``text`` into tokens with char offsets (reference M2).
+
+    Word chars group; every other non-space char (punctuation, '\\n', '\\t')
+    is a single-char token; in a run of k spaces the first is a separator and
+    the remaining k-1 are single-space tokens (spaCy whitespace-token
+    semantics — see module comment)."""
+    word_re = _WORD_RE_DIACRITICS if diacritics else _WORD_RE
+    tokens: List[Token] = []
+    i = 0
+    n = len(text)
+    idx = 0
+    while i < n:
+        m = word_re.match(text, i)
+        if m is not None:
+            tokens.append(Token(m.group(0), m.start(), m.end(), idx))
+            idx += 1
+            i = m.end()
+            continue
+        c = text[i]
+        if c == " ":
+            j = i + 1
+            while j < n and text[j] == " ":
+                j += 1
+            for k in range(i + 1, j):  # first space separates, extras tokenize
+                tokens.append(Token(" ", k, k + 1, idx))
+                idx += 1
+            i = j
+        else:
+            tokens.append(Token(c, i, i + 1, idx))
+            idx += 1
+            i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Stopwords — frozen English list.
+#
+# The reference takes ``token.is_stop`` from spaCy's English stopword list
+# (used at medcat/ner/vocab_based_ner.py:60 and
+# medcat/linking/vector_context_model.py:44-50).  We freeze a compact common
+# English list; it is overridable per-job via ``tag_tokens(stopwords=...)``.
+# ---------------------------------------------------------------------------
+
+STOPWORDS: Set[str] = frozenset("""
+a about above after again against all am an and any are as at be because been
+before being below between both but by can cannot could did do does doing down
+during each few for from further had has have having he her here hers herself
+him himself his how i if in into is it its itself just me more most my myself
+no nor not now of off on once only or other our ours ourselves out over own
+same she should so some such than that the their theirs them themselves then
+there these they this those through to too under until up very was we were
+what when where which while who whom why will with you your yours yourself
+yourselves
+""".split())
+
+
+def tag_tokens(tokens: List[Token], config: EngineConfig,
+               stopwords: Optional[Set[str]] = None) -> List[Token]:
+    """Tag punctuation / skip / stopword flags (reference M3,
+    medcat/preprocessing/taggers.py:37-52)."""
+    stop = STOPWORDS if stopwords is None else stopwords
+    word_skipper = word_skipper_pattern(config.words_to_skip)
+    keep_punct = config.keep_punct
+    skip_stop = config.skip_stopwords
+    for token in tokens:
+        token.is_stop = token.lower in stop
+        if PUNCT_CHECKER.match(token.lower) and token.text not in keep_punct:
+            token.is_punct = True
+            token.to_skip = True
+        elif word_skipper.match(token.lower):
+            token.to_skip = True
+        elif skip_stop and token.is_stop:
+            token.to_skip = True
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Lemmatizer — frozen rule-based English lemmatizer (v1).
+#
+# Deviation from the reference (which uses spaCy ``en_core_web_md`` lemmas,
+# medcat/utils/normalizers.py:183-192): no POS information is available, so a
+# fixed suffix-rule set is applied.  The rule "strip a final 's'" is ordered
+# first to reproduce the reference's observable golden behavior
+# ('viruses' -> 'viruse', /root/reference/tests/test_ner.py:69-71).
+# Consistency matters more than linguistic perfection: CDB name preparation
+# and document normalization share this exact function.
+# ---------------------------------------------------------------------------
+
+_LEMMA_EXCEPTIONS: Dict[str, str] = {
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "teeth": "tooth", "mice": "mouse", "geese": "goose", "people": "person",
+}
+
+LEMMATIZER_VERSION = "1"
+
+
+def lemmatize(word: str) -> str:
+    """Lemma of a lowercase word. Frozen v1 rules; see module docstring."""
+    exc = _LEMMA_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    n = len(word)
+    if word.endswith("ies") and n > 4:
+        return word[:-3] + "y"
+    if word.endswith("ss"):
+        return word
+    if word.endswith("s") and n > 3:
+        return word[:-1]
+    if word.endswith("ing") and n >= 6:
+        stem = word[:-3]
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            stem = stem[:-1]
+        return stem if len(stem) >= 3 else word
+    if word.endswith("ed") and n >= 5:
+        stem = word[:-2]
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            stem = stem[:-1]
+        return stem if len(stem) >= 3 else word
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Spell checker (M5) — Norvig-style over the CDB word vocabulary.
+# Reference: medcat/utils/normalizers.py:10-124.
+# ---------------------------------------------------------------------------
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_LETTERS_DIACRITICS = _LETTERS + "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ"
+
+
+def edits1(word: str, diacritics: bool = False) -> Set[str]:
+    """All edits one edit away (medcat/utils/normalizers.py:88-108)."""
+    letters = _LETTERS_DIACRITICS if diacritics else _LETTERS
+    splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
+    deletes = [L + R[1:] for L, R in splits if R]
+    transposes = [L + R[1] + R[0] + R[2:] for L, R in splits if len(R) > 1]
+    replaces = [L + c + R[1:] for L, R in splits if R for c in letters]
+    inserts = [L + c + R for L, R in splits for c in letters]
+    return set(deletes + transposes + replaces + inserts)
+
+
+class SpellChecker:
+    """Candidate ranking by CDB word frequency ``P = -1/cnt``.
+
+    The reference's tie-break (``max`` over an unordered set,
+    medcat/utils/normalizers.py:51-55) is nondeterministic; we sort
+    candidates lexicographically first so ties resolve to the smallest word
+    (deterministic across runs and cluster sizes).
+    """
+
+    def __init__(self, cdb_vocab: Dict[str, int], config: EngineConfig) -> None:
+        self.vocab = cdb_vocab
+        self.config = config
+
+    def __contains__(self, word: str) -> bool:
+        # Reference __contains__ (normalizers.py:34-40) effectively returns
+        # membership in the CDB vocab only (the data_vocab branch returns
+        # False in both arms).
+        return word in self.vocab
+
+    def P(self, word: str) -> float:
+        cnt = self.vocab.get(word, 0)
+        return -1.0 / cnt if cnt != 0 else 0.0
+
+    def known(self, words: Iterable[str]) -> Set[str]:
+        return set(w for w in words if w in self.vocab)
+
+    def candidates(self, word: str) -> List[str]:
+        dia = self.config.diacritics
+        if self.config.spell_check_deep:
+            cands = (self.known([word])
+                     or self.known(edits1(word, dia))
+                     or self.known(e2 for e1 in edits1(word, dia)
+                                   for e2 in edits1(e1, dia))
+                     or [word])
+        else:
+            cands = (self.known([word]) or self.known(edits1(word, dia))
+                     or [word])
+        return sorted(cands)
+
+    def fix(self, word: str) -> Optional[str]:
+        fix = max(self.candidates(word), key=self.P)
+        return fix if fix != word else None
+
+
+# ---------------------------------------------------------------------------
+# Normalizer (M4) — sets token.norm, optionally spell-fixing unknown words.
+# Reference: medcat/utils/normalizers.py:181-205.
+# ---------------------------------------------------------------------------
+
+def normalize_tokens(tokens: List[Token], config: EngineConfig,
+                     spell_checker: Optional[SpellChecker] = None) -> List[Token]:
+    min_len = config.min_len_normalize
+    do_spell = config.spell_check and spell_checker is not None
+    limit = config.spell_check_len_limit
+    for token in tokens:
+        if len(token.lower) < min_len:
+            token.norm = token.lower
+        else:
+            token.norm = lemmatize(token.lower)
+
+        if do_spell:
+            if (len(token.text) >= limit and not token.is_punct
+                    and token.lower not in spell_checker
+                    and not _CONTAINS_NUMBER.search(token.lower)):
+                fix = spell_checker.fix(token.lower)
+                if fix is not None:
+                    if len(token.lower) < min_len:
+                        token.norm = fix.lower()
+                    else:
+                        token.norm = lemmatize(fix.lower())
+    return tokens
+
+
+def process_text(text: str, config: EngineConfig,
+                 spell_checker: Optional[SpellChecker] = None,
+                 stopwords: Optional[Set[str]] = None) -> List[Token]:
+    """tokenize → tag → normalize, the full M2-M4 preprocessing chain."""
+    tokens = tokenize(text, config.diacritics)
+    tag_tokens(tokens, config, stopwords)
+    normalize_tokens(tokens, config, spell_checker)
+    return tokens

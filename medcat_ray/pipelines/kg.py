@@ -1,0 +1,113 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.4):
+
+    read_parquet(pages) → extract_text (stateless tasks)
+      → AnnotateStage (actor pool, CDB+Vocab pinned)
+      → entities parquet  /  triple rows  /  triple counts (groupby-agg)
+
+All functions take and return ``ray.data.Dataset`` and never call
+``ray.init``.  Wide steps: exactly one groupby (triple counting), fed by
+per-batch partial counts (combiner) so the exchange carries one row per
+distinct triple per batch rather than one row per pair occurrence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from medcat_ray.config import EngineConfig
+from medcat_ray.state.cdb import CDB
+from medcat_ray.state.vocab import Vocab
+from medcat_ray.stages.annotate import AnnotateStage, extract_text_batch
+from medcat_ray.stages.triples import (explode_entities, gen_triple_rows,
+                                       partial_triple_counts)
+
+PAGES_COLUMNS = ("url", "html", "lang")  # prune at the read: no warc_ts/text
+
+
+def broadcast_models(cdb: CDB, vocab: Vocab) -> "ray.ObjectRef":
+    """``ray.put`` the model once; every annotate actor reads the same copy
+    from the object store instead of re-shipping per task."""
+    return ray.put((cdb, vocab))
+
+
+def read_pages(path: Union[str, Sequence[str]],
+               columns: Sequence[str] = PAGES_COLUMNS,
+               lang: Optional[str] = None) -> rd.Dataset:
+    """Pages source with column pruning and optional language pushdown."""
+    import pyarrow.dataset as pads
+    filter_expr = (pads.field("lang") == lang) if lang else None
+    return rd.read_parquet(path, columns=list(columns), filter=filter_expr)
+
+
+def extract_text(pages: rd.Dataset) -> rd.Dataset:
+    """M16: html → text, stateless tasks, drops the html column."""
+    return pages.map_batches(extract_text_batch, batch_format="pyarrow")
+
+
+def annotate(docs: rd.Dataset,
+             models: Union["ray.ObjectRef", Tuple[CDB, Vocab], str],
+             config: Optional[EngineConfig] = None,
+             concurrency: Union[int, Tuple[int, int]] = 8,
+             batch_size: int = 128,
+             text_column: str = "text",
+             key_column: str = "url") -> rd.Dataset:
+    """T1 actor-pool stage; one row per document with an ``ents`` list."""
+    return docs.map_batches(
+        AnnotateStage,
+        fn_constructor_kwargs=dict(models=models, config=config,
+                                   text_column=text_column,
+                                   key_column=key_column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def entities(annotated: rd.Dataset, key_column: str = "url") -> rd.Dataset:
+    """Flattened entities table (FIXTURES.md F4)."""
+    return annotated.map_batches(
+        lambda b: explode_entities(b, key_column), batch_format="pyarrow")
+
+
+def triples(annotated: rd.Dataset, window: int = 300,
+            pred: str = "co_occurs_with",
+            key_column: str = "url") -> rd.Dataset:
+    """Provenance triple rows — one row per co-occurrence pair."""
+    return annotated.map_batches(
+        lambda b: gen_triple_rows(b, window, pred, key_column),
+        batch_format="pyarrow")
+
+
+def triple_counts(annotated: rd.Dataset, window: int = 300,
+                  pred: str = "co_occurs_with",
+                  key_column: str = "url") -> rd.Dataset:
+    """Corpus-level deduped (subj, pred, obj, count) — A5/D5.
+
+    Partial counts per batch (combiner) → single groupby-aggregate.  The
+    groupby keys are the triple columns themselves; provenance stays in the
+    :func:`triples` table (already partition-resumable), keeping this
+    exchange minimal."""
+    partial = annotated.map_batches(
+        lambda b: partial_triple_counts(b, window, pred, key_column),
+        batch_format="pyarrow")
+    return partial.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(
+        Sum("n", alias_name="count"))
+
+
+def annotate_pages(pages_path: Union[str, Sequence[str]],
+                   models: Union["ray.ObjectRef", Tuple[CDB, Vocab], str],
+                   config: Optional[EngineConfig] = None,
+                   lang: Optional[str] = None,
+                   concurrency: Union[int, Tuple[int, int]] = 8,
+                   batch_size: int = 128) -> rd.Dataset:
+    """read → extract_text → annotate, the shared front of every KG run."""
+    pages = read_pages(pages_path, lang=lang)
+    return annotate(extract_text(pages), models, config,
+                    concurrency=concurrency, batch_size=batch_size)

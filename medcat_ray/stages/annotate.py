@@ -1,0 +1,108 @@
+"""Annotate stage — the T1 actor-pool stage (SURVEY.md §2.3).
+
+``AnnotateStage`` is a callable CLASS for
+``Dataset.map_batches(AnnotateStage, fn_constructor_kwargs=..., concurrency=N,
+batch_format="pyarrow")``: the CDB + Vocab load happens ONCE per actor in
+``__init__`` (the reference loads them per forked process,
+/root/reference/medcat/cat.py:1642-1690), and ``__call__`` annotates one
+Arrow batch of pages.
+
+Output keeps one row per document with an ``ents`` list<struct> column so
+that downstream pair generation never sees a document split across batch
+boundaries (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from medcat_ray.config import EngineConfig
+from medcat_ray.core.annotator import DocAnnotator
+from medcat_ray.functions.html import extract_text
+from medcat_ray.state.cdb import CDB
+from medcat_ray.state.vocab import Vocab
+
+ENTITY_TYPE = pa.struct([
+    ("ent_id", pa.int32()),
+    ("cui", pa.string()),
+    ("start", pa.int32()),
+    ("end", pa.int32()),
+    ("source_value", pa.string()),
+    ("detected_name", pa.string()),
+    ("context_similarity", pa.float32()),
+    ("type_ids", pa.list_(pa.string())),
+    ("pretty_name", pa.string()),
+])
+
+ENTS_LIST_TYPE = pa.list_(ENTITY_TYPE)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """Stateless M16+M1 stage: html binary → extracted text.
+
+    Drops the (large) ``html`` column from the stream so only text flows to
+    the annotate stage.  Per-row failures yield empty text rather than
+    failing the block (reference per-doc try/except, medcat/cat.py:1683-1686).
+    """
+    htmls = batch["html"]
+    texts = pa.array((extract_text(h) for h in htmls.to_pylist()),
+                     type=pa.string())
+    cols = {name: batch[name] for name in batch.column_names if name != "html"}
+    cols["text"] = texts
+    return pa.table(cols)
+
+
+class AnnotateStage:
+    """Actor: dictionary NER + context linking over Arrow batches of pages.
+
+    ``models`` may be a ``ray.ObjectRef`` to a ``(CDB, Vocab)`` tuple
+    (broadcast once with ``ray.put`` — zero re-ship per batch), a plain
+    tuple (local/unit-test use), or a path to an artifact directory
+    (``<path>/cdb`` + ``<path>/vocab``) for load-from-disk workers.
+    """
+
+    def __init__(self, models: Union[Tuple[CDB, Vocab], str, "object"],
+                 config: Optional[EngineConfig] = None,
+                 text_column: str = "text", key_column: str = "url",
+                 keep_columns: Tuple[str, ...] = ()) -> None:
+        import ray
+        if isinstance(models, ray.ObjectRef):
+            cdb, vocab = ray.get(models)
+        elif isinstance(models, str):
+            import os
+            cdb = CDB.load(os.path.join(models, "cdb"), config)
+            vocab = Vocab.load(os.path.join(models, "vocab"))
+        else:
+            cdb, vocab = models
+        self.annotator = DocAnnotator(cdb, vocab, config)
+        self.text_column = text_column
+        self.key_column = key_column
+        self.keep_columns = keep_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        ents_col = []
+        n_ents = []
+        errors = []
+        annotate = self.annotator.annotate
+        for text in texts:
+            try:
+                ents = annotate(text) if text else []
+                ents_col.append(ents)
+                n_ents.append(len(ents))
+                errors.append(None)
+            except Exception as exc:  # poison row → null ents, not a dead block
+                ents_col.append([])
+                n_ents.append(0)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        cols = {self.key_column: batch[self.key_column]}
+        for name in self.keep_columns:
+            if name in batch.column_names:
+                cols[name] = batch[name]
+        cols["n_ents"] = pa.array(n_ents, type=pa.int32())
+        cols["ents"] = pa.array(ents_col, type=ENTS_LIST_TYPE)
+        cols["error"] = pa.array(errors, type=pa.string())
+        return pa.table(cols)

@@ -1,0 +1,110 @@
+"""CDB build/save/load tests (reference style: tests/test_cdb_maker.py,
+tests/test_cdb.py)."""
+
+import csv
+import io
+
+import numpy as np
+
+from medcat_ray.config import EngineConfig
+from medcat_ray.state.cdb import CDB, prepare_name
+from medcat_ray.state.vocab import Vocab
+
+CFG = EngineConfig()
+
+CSV = """cui,name,ontologies,name_status,type_ids,description
+C0000039,"Virus",MSH,P,T109|T123,A synthetic concept
+C0000039,"Virus M|Virus K|Virus Z",,,,
+C0000139,"Virus M|Virus K|Virus Z",,P,,
+"""
+
+
+def build_from_csv(text=CSV, full_build=True):
+    cdb = CDB(CFG)
+    cdb.add_concept_rows(csv.DictReader(io.StringIO(text)), full_build=full_build)
+    return cdb
+
+
+def test_multi_name_split_and_status():
+    # reference CDBMaker semantics (/root/reference/medcat/cdb_maker.py:144-195)
+    cdb = build_from_csv()
+    assert "virus" in cdb.name2cuis
+    assert cdb.name2cuis["virus"] == ["C0000039"]
+    # shared names link to both CUIs, in build order
+    assert cdb.name2cuis["virus~m"] == ["C0000039", "C0000139"]
+    # second concept declared P for the shared name
+    assert cdb.name2cuis2status["virus~m"] == {"C0000039": "A", "C0000139": "P"}
+    assert cdb.cui2type_ids["C0000039"] == {"T109", "T123"}
+    assert cdb.cui2preferred_name["C0000039"] == "Virus"
+
+
+def test_snames_are_prefixes():
+    cdb = build_from_csv()
+    assert "virus" in cdb.snames and "virus~m" in cdb.snames
+    assert cdb.cui2snames["C0000039"] >= {"virus", "virus~m", "virus~k"}
+
+
+def test_word_vocab_counts():
+    cdb = build_from_csv()
+    # 'virus' appears in every name version of both CUIs
+    assert cdb.vocab["virus"] >= 4
+    assert "m" in cdb.vocab
+
+
+def test_min_letters_required():
+    # single-letter name rejected (prepare_name min_letters_required=2,
+    # cleaners.py:53-54)
+    names = prepare_name("M", CFG)
+    assert names == {}
+    names = prepare_name("Mg", CFG)
+    assert "mg" in names
+
+
+def test_prepare_name_versions():
+    names = prepare_name("Movar viruses", CFG)
+    assert set(names) == {"movar~viruses", "movar~viruse"}
+    assert names["movar~viruses"]["snames"] == {"movar", "movar~viruses"}
+    assert names["movar~viruses"]["is_upper"] is False
+
+
+def test_save_load_roundtrip(tmp_path):
+    cdb = build_from_csv()
+    rng = np.random.default_rng(1)
+    cdb.set_context_vectors(
+        "C0000039", {ct: rng.normal(size=4) for ct in CFG.context_vector_sizes},
+        count_train=7)
+    h1 = cdb.save(str(tmp_path / "cdb"))
+    loaded = CDB.load(str(tmp_path / "cdb"), CFG)
+    assert loaded.name2cuis == cdb.name2cuis
+    assert loaded.name2cuis2status == cdb.name2cuis2status
+    assert loaded.snames == cdb.snames
+    assert loaded.cui2names == cdb.cui2names
+    assert loaded.cui2type_ids == cdb.cui2type_ids
+    assert loaded.cui2count_train == cdb.cui2count_train
+    assert loaded.vocab == cdb.vocab
+    np.testing.assert_allclose(
+        loaded.cui2context_vectors["C0000039"]["short"],
+        cdb.cui2context_vectors["C0000039"]["short"])
+    assert loaded.content_hash() == h1
+
+
+def test_filter_by_cui_closure():
+    cdb = build_from_csv()
+    cdb.filter_by_cui(["C0000139"])
+    # semi-join closure: shared names keep BOTH their CUIs (cdb.py:660-738)
+    assert "C0000039" in cdb.name2cuis["virus~m"]
+    # but the exclusive name of C0000039 is gone
+    assert "virus" not in cdb.name2cuis
+
+
+def test_vocab_tsv_roundtrip(tmp_path):
+    p = tmp_path / "vocab.tsv"
+    p.write_text("house\t34444\t0.3 0.1 1.2\nnovec\t5\n")
+    vocab = Vocab.from_tsv(str(p))
+    assert "house" in vocab and "novec" in vocab
+    np.testing.assert_allclose(vocab.vec("house"), [0.3, 0.1, 1.2], rtol=1e-6)
+    assert vocab.vec("novec") is None
+    vocab.save(str(tmp_path / "v"))
+    v2 = Vocab.load(str(tmp_path / "v"))
+    assert v2.word2cnt == vocab.word2cnt
+    np.testing.assert_allclose(v2.vec("house"), vocab.vec("house"))
