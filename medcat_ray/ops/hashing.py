@@ -1,0 +1,97 @@
+"""Deterministic hashing primitives shared by the dedup/fingerprint ops.
+
+Python's builtin ``hash()`` is salted per process (PYTHONHASHSEED) and MUST
+NOT be used in distributed transforms — two Ray workers would disagree.
+Everything here is seed-stable across processes and platforms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List
+
+import numpy as np
+
+MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def stable_u64(data: bytes) -> int:
+    """64-bit stable hash (blake2b-8)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def stable_hex(data: bytes, n: int = 16) -> str:
+    return hashlib.blake2b(data, digest_size=n).hexdigest()
+
+
+def text_hashes(texts: Iterable[str]) -> List[int]:
+    """Stable 64-bit content hash per text (exact-dedup key)."""
+    return [stable_u64(t.encode("utf-8", "surrogatepass")) for t in texts]
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-character-shingle hashes of a text as uint64.
+
+    Character shingles (not word) so short/agglutinative texts still get a
+    signature; k=5 is the common near-dup setting."""
+    n = len(text)
+    if n < k:
+        data = text.encode("utf-8", "surrogatepass")
+        return np.array([stable_u64(data)], dtype=np.uint64) if text else \
+            np.array([], dtype=np.uint64)
+    seen = {text[i:i + k] for i in range(n - k + 1)}
+    return np.fromiter(
+        (stable_u64(s.encode("utf-8", "surrogatepass")) for s in seen),
+        dtype=np.uint64, count=len(seen))
+
+
+def minhash_params(num_perm: int, seed: int = 1) -> tuple:
+    """(a, b) affine-permutation parameters for MinHash, seeded."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MERSENNE_PRIME), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE_PRIME), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over shingles of ((a*h + b) mod p) & 32-bit."""
+    if shingles.size == 0:
+        return np.full(a.shape[0], int(_MAX_HASH), dtype=np.uint64)
+    # (num_perm, n_shingles) broadcast; modular arithmetic in uint64 with
+    # wraparound is fine for dedup purposes (stable, well mixed)
+    vals = (a[:, None] * shingles[None, :] + b[:, None]) % MERSENNE_PRIME
+    return (vals & _MAX_HASH).min(axis=1)
+
+
+def band_key(sig: np.ndarray, band: int, rows: int) -> int:
+    """Stable hash of one LSH band slice of a signature."""
+    return stable_u64(sig[band * rows:(band + 1) * rows].tobytes())
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray = None) -> int:
+    """64-bit SimHash over token hashes (bit-vote with optional weights)."""
+    if token_hashes.size == 0:
+        return 0
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = bits * 2 - 1
+    if weights is not None:
+        votes = votes * weights[:, None]
+    acc = votes.sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def rolling_fingerprint(text: str, base: int = 1_000_003,
+                        mod: int = (1 << 61) - 1) -> int:
+    """Rabin-Karp rolling-hash document fingerprint over the whole
+    normalized text (whitespace-collapsed, lowercase)."""
+    h = 0
+    for ch in " ".join(text.lower().split()):
+        h = (h * base + ord(ch)) % mod
+    return h

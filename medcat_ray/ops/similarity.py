@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* brute-force cosine top-k — the exact baseline: per-batch numpy matmul
+  against a broadcast query matrix, batch-local top-k partials, then one
+  tiny global merge.  Scales linearly; the shuffle carries only
+  ``n_queries × k`` rows per batch.
+* LSH-bucketed ANN — random-hyperplane buckets with multi-probe: only
+  buckets near a query's bucket are scanned.  The scale path when the
+  corpus is 10^12 vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    return M / norms[:, None]
+
+
+class BruteForceTopK:
+    """Actor-pool stage: batch-local cosine top-k against the broadcast
+    query matrix (queries are ``ray.put`` once, fetched once per actor)."""
+
+    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+        import ray
+        queries = ray.get(queries_ref) if not isinstance(queries_ref, tuple) \
+            else queries_ref
+        self.query_ids, Q = queries
+        self.Q = _unit(np.asarray(Q, dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        V = _unit(_as_matrix(batch[self.vec_col]))
+        S = self.Q @ V.T                      # (n_queries, n_batch)
+        k = min(self.k, S.shape[1])
+        out_q, out_n, out_s = [], [], []
+        # batch-local partial top-k per query (merged globally afterwards)
+        top = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        for qi, qid in enumerate(self.query_ids):
+            for j in top[qi]:
+                out_q.append(qid)
+                out_n.append(ids[j])
+                out_s.append(S[qi, j])
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "score": pa.array(np.round(out_s, 6)),
+        })
+
+
+def knn_bruteforce(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   concurrency: int = 4) -> rd.Dataset:
+    """Exact cosine top-k for each query row: partial top-k per batch →
+    global top-k per query (tiny groupby over n_queries × k × n_batches
+    rows).  Ties broken by neighbor id ascending (deterministic)."""
+    import ray
+    queries_ref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", "neighbor_id"],
+                                 ascending=[False, True]).head(k)
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def knn_lsh(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
+            n_planes: int = 8, multiprobe: int = 1,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 9, concurrency: int = 4) -> rd.Dataset:
+    """Approximate top-k: scan only rows whose hyperplane sign-bucket is
+    within ``multiprobe`` bit flips of the query's bucket.
+
+    Recall < 1 by construction; the accepted trade for a 2^n_planes scan
+    reduction.  Probed bucket sets are computed once on the driver."""
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    def bucket_of(M: np.ndarray) -> np.ndarray:
+        signs = (M @ planes) > 0
+        return (signs.astype(np.uint64) <<
+                np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+
+    q_buckets = bucket_of(Q)
+    probe_sets = []
+    for qb in q_buckets:
+        probes = {int(qb)}
+        if multiprobe >= 1:
+            for bit in range(n_planes):
+                probes.add(int(qb) ^ (1 << bit))
+        probe_sets.append(probes)
+    wanted = set().union(*probe_sets) if probe_sets else set()
+
+    import ray
+    wanted_ref = ray.put(wanted)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        V = _as_matrix(batch[vec_col])
+        if V.size == 0:
+            return batch
+        b = bucket_of(V)
+        w = ray.get(wanted_ref)
+        mask = pa.array([int(x) in w for x in b])
+        return batch.filter(mask)
+
+    pruned = ds.map_batches(keep_probed, batch_format="pyarrow")
+    return knn_bruteforce(pruned, query_ids, query_matrix, k,
+                          id_col, vec_col, concurrency)

@@ -1,0 +1,159 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All are stateless/stateful ``map_batches`` transforms with vectorized or
+tight-loop bodies and deterministic outputs (frozen profiles, no RNG).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from medcat_ray.functions.text import STOPWORDS
+from medcat_ray.ops.hashing import rolling_fingerprint
+
+# A GPT-2-style pretokenizer regex (public, simplified): contractions,
+# letter runs, digit runs, punct runs — "BPE-ish" token counting.
+_BPE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÖØ-öø-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]+|\s+(?!\S)|\s+")
+
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def add_token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Adds ``n_tokens_ws`` (whitespace split) and ``n_tokens_bpe``
+    (BPE-ish regex pretokenizer count)."""
+    def _count(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ws = [len(t.split()) if t else 0 for t in texts]
+        bpe = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+        return (batch
+                .append_column("n_tokens_ws", pa.array(ws, type=pa.int64()))
+                .append_column("n_tokens_bpe", pa.array(bpe, type=pa.int64())))
+    return ds.map_batches(_count, batch_format="pyarrow")
+
+
+def add_quality(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Quality signals per document: char/word lengths, punctuation ratio,
+    stopword ratio, mean word length, and a composite ``quality_score`` in
+    [0, 1] (heuristic; frozen weights)."""
+    def _quality(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, dtype=np.int64)
+        n_words = np.empty(n, dtype=np.int64)
+        punct_ratio = np.empty(n, dtype=np.float64)
+        stop_ratio = np.empty(n, dtype=np.float64)
+        mean_word_len = np.empty(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            words = t.split()
+            n_chars[i] = len(t)
+            n_words[i] = len(words)
+            punct_ratio[i] = (len(_PUNCT_RE.findall(t)) / len(t)) if t else 0.0
+            if words:
+                stop_ratio[i] = sum(1 for w in words
+                                    if w.lower() in STOPWORDS) / len(words)
+                mean_word_len[i] = sum(len(w) for w in words) / len(words)
+            else:
+                stop_ratio[i] = 0.0
+                mean_word_len[i] = 0.0
+        # composite: reward mid-length docs with sane word stats
+        length_ok = np.clip(n_words / 100.0, 0, 1)
+        word_len_ok = np.exp(-0.5 * ((mean_word_len - 5.0) / 3.0) ** 2)
+        punct_ok = 1.0 - np.clip(punct_ratio * 4, 0, 1)
+        score = 0.4 * length_ok + 0.3 * word_len_ok + 0.3 * punct_ok
+        return (batch
+                .append_column("n_words", pa.array(n_words))
+                .append_column("punct_ratio", pa.array(np.round(punct_ratio, 6)))
+                .append_column("stopword_ratio", pa.array(np.round(stop_ratio, 6)))
+                .append_column("mean_word_len", pa.array(np.round(mean_word_len, 6)))
+                .append_column("quality_score", pa.array(np.round(score, 6))))
+    return ds.map_batches(_quality, batch_format="pyarrow")
+
+
+def add_fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Rolling-hash (Rabin-Karp) fingerprint of the normalized text."""
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(t or "") for t in batch[text_col].to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, type=pa.uint64()))
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Language identification — frozen char-n-gram/stopword profiles.
+#
+# Classic n-gram-rank heuristic (Cavnar & Trenkle style) reduced to frozen
+# marker sets per language: each language scores by marker-word and
+# marker-trigram hits; argmax wins, 'und' (undetermined) below a floor.
+# Deterministic, dependency-free.  An actor-pool stage: profiles are
+# compiled once per actor.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: Dict[str, Dict[str, set]] = {
+    "en": {"words": {"the", "and", "of", "to", "in", "is", "that", "it",
+                     "was", "for", "with", "as", "his", "on", "be"},
+           "grams": {"th", "he", "in", "er", "an", "ing", "ion", "ed "}},
+    "de": {"words": {"der", "die", "das", "und", "ist", "nicht", "mit",
+                     "ein", "eine", "zu", "den", "von", "sich", "auf"},
+           "grams": {"ch", "ei", "sch", "ung", "der", "ein", "ich"}},
+    "fr": {"words": {"le", "la", "les", "et", "est", "une", "des", "dans",
+                     "pour", "que", "qui", "sur", "pas", "avec"},
+           "grams": {"le", "es", "de", "ent", "ion", "que", "eur"}},
+    "es": {"words": {"el", "la", "los", "las", "es", "una", "por", "que",
+                     "con", "para", "del", "como", "más", "pero"},
+           "grams": {"de", "en", "os", "ción", "que", "ado", "ar "}},
+    "zh": {"words": set(),
+           "grams": set()},  # detected by CJK codepoint ratio instead
+}
+
+
+class LangIdStage:
+    """Actor-pool language-ID: profiles compiled once in ``__init__``."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred",
+                 floor: float = 0.0001) -> None:
+        self.text_col = text_col
+        self.out_col = out_col
+        self.floor = floor
+        self.profiles = _LANG_MARKERS
+
+    def detect(self, text: str) -> str:
+        if not text:
+            return "und"
+        # CJK ratio first
+        n_cjk = sum(1 for ch in text[:500] if "一" <= ch <= "鿿")
+        if n_cjk / max(1, min(len(text), 500)) > 0.2:
+            return "zh"
+        lowered = text[:2000].lower()
+        words = set(lowered.split())
+        scores = {}
+        for lang, prof in self.profiles.items():
+            if lang == "zh":
+                continue
+            w_hits = len(words & prof["words"])
+            g_hits = sum(lowered.count(g) for g in prof["grams"])
+            scores[lang] = w_hits * 3 + g_hits * 0.1
+        best = max(sorted(scores), key=lambda k: scores[k])
+        total = len(words)
+        return best if scores[best] / max(1, total) > self.floor else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.detect(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out_col, pa.array(preds,
+                                                          type=pa.string()))
+
+
+def add_langid(ds: rd.Dataset, text_col: str = "text",
+               concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(LangIdStage,
+                          fn_constructor_kwargs=dict(text_col=text_col),
+                          batch_format="pyarrow", concurrency=concurrency)
