@@ -1,44 +1,365 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per-operator
+callables, oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in medcat_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Operator coverage map (SURVEY.md §2): the kg_* queries run the FULL
+annotate actor stage (M1-M13 dictionary NER + linking + overlap resolution)
+and the triple stage (T3 candidate semantics, A5/D5 dedup-count) over the
+``documents`` table with a frozen single-token concept space, which makes
+them exactly SQL-checkable (offsets via cumulative-length window sums).
+Relational queries exercise groupby-aggregate, broadcast joins, sort/limit
+and tumbling windows; ops queries cover dedup, text stats, similarity
+search.  Rows-only queries (no oracle) are the genuinely non-SQL ops:
+MinHash/SimHash clustering, LSH ANN, language-ID, fingerprints, multimodal
+stubs, and the HTML pages flagship.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_PRED = "co_occurs_with"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001: documents → Common-Crawl-style pages
+    (html wrap, cached) → extract_text → annotate actor pool → co-occurrence
+    triple counts."""
+    from medcat_ray.fixtures import pages_from_documents
+    from medcat_ray.pipelines import kg
+    from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
 
+    sf_dir = "/root/testdata/sf0.001"
+    pages_dir = os.path.join(tempfile.gettempdir(),
+                             "medcat_ray_entry_pages_sf0001")
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
+                             pages_dir)
+    cdb, vocab = docs_cdb()
+    annotated = kg.annotate_pages(pages_dir, (cdb, vocab), DOCS_CONFIG,
+                                  concurrency=2, batch_size=128)
+    return kg.triple_counts(annotated, pred=_PRED, mode="tree")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from medcat_ray.pipelines import docs_kg, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_token_stats(sf_dir):
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+        from medcat_ray.ops.textstats import add_token_counts
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text", "lang"])
 
+        def chars(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.append_column(
+                "n_chars2", pc.cast(pc.utf8_length(batch["text"]), pa.int64()))
+        out = add_token_counts(ds.map_batches(chars, batch_format="pyarrow")) \
+            .groupby("lang").aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_tokens_ws", alias_name="sum_tokens"),
+                Sum("n_chars2", alias_name="sum_chars")).to_pandas()
+        return out.sort_values("lang").reset_index(drop=True)
+
+    def doc_text_quality(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.textstats import add_quality
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = add_quality(ds).to_pandas()
+        return out[["doc_id", "n_words", "mean_word_len", "stopword_ratio"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def exact_dedup_docs(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.dedup import exact_dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = exact_dedup(ds).to_pandas()
+        return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+    def knn_top10(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from medcat_ray.ops.similarity import knn_bruteforce
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        q = pq.read_table(path).to_pandas()
+        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+        ds = rd.read_parquet(path)
+        out = knn_bruteforce(ds, [0], qv[None, :], k=10,
+                             concurrency=2).to_pandas()
+        return out.sort_values(["score", "neighbor_id"],
+                               ascending=[False, True]).reset_index(drop=True)
+
+    def eval_prf(sf_dir):
+        """Distributed P/R/F1 harness (A1/J5): pred = annotate with
+        min_name_len=5 (drops 4-char names), gold = default config."""
+        from medcat_ray import stats
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import (DOCS_CONFIG, docs_cdb,
+                                                  kg_entities)
+        import ray.data as rd
+        import pyarrow as pa
+        cdb, vocab = docs_cdb()
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        strict_cfg = DOCS_CONFIG.with_overrides(min_name_len=5)
+        pred_ann = kg.annotate(docs, (cdb, vocab), strict_cfg,
+                               concurrency=2, key_column="doc_id")
+        pred = kg.entities(pred_ann, key_column="doc_id").map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "start_pos": b["start"], "cui": b["cui"]}),
+            batch_format="pyarrow")
+        gold = kg_entities(sf_dir).select_columns(
+            ["doc_id", "start_pos", "cui"])
+        return stats.prf_per_cui(pred, gold)
+
+    # --- rows-only (non-SQL) ---------------------------------------------
+
+    def minhash_dedup_docs(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.dedup import minhash_dedup_clusters
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return minhash_dedup_clusters(ds, concurrency=2)
+
+    def simhash_candidates_docs(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.dedup import simhash_candidates
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return simhash_candidates(ds)
+
+    def embedding_near_dup_pairs(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.dedup import embedding_near_dups
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_near_dups(ds, threshold=0.95)
+
+    def knn_lsh_top10(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from medcat_ray.ops.similarity import knn_lsh
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        q = pq.read_table(path).to_pandas()
+        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+        return knn_lsh(rd.read_parquet(path), [0], qv[None, :], k=10,
+                       concurrency=2)
+
+    def langid_docs(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.textstats import add_langid
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return add_langid(ds, concurrency=2).select_columns(
+            ["doc_id", "lang_pred"])
+
+    def doc_fingerprints(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.textstats import add_fingerprint
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+    def multimodal_image_stub(sf_dir):
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.multimodal import decode_images
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+        def to_binary(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "item_id": batch["doc_id"],
+                "data": pa.array([t.encode()[:64] for t in
+                                  batch["text"].to_pylist()],
+                                 type=pa.binary())})
+        imgs = decode_images(docs.map_batches(to_binary,
+                                              batch_format="pyarrow"),
+                             concurrency=2)
+        return imgs
+
+    def pages_kg_flagship(sf_dir):
+        """HTML flagship on derived pages: extract_text → annotate →
+        entity rows (rows-only: html wrap/extraction not SQL-expressible)."""
+        from medcat_ray.fixtures import pages_from_documents
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
+        import hashlib
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        pages_dir = os.path.join(tempfile.gettempdir(),
+                                 f"medcat_ray_pages_{tag}")
+        if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+            pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
+                                 pages_dir)
+        cdb, vocab = docs_cdb()
+        ann = kg.annotate_pages(pages_dir, (cdb, vocab), DOCS_CONFIG,
+                                concurrency=2, batch_size=128)
+        return kg.entities(ann)
+
+    def cdb_stats_query(sf_dir):
+        import pandas as pd
+        from medcat_ray.pipelines.docs_kg import docs_cdb
+        cdb, _ = docs_cdb()
+        return pd.DataFrame([cdb.stats()])
+
+    return {
+        # KG pipeline (SQL-checked, full annotate+triple stages)
+        "kg_entities": docs_kg.kg_entities,
+        "kg_mentions": docs_kg.kg_mentions,
+        "kg_triples": lambda sf: docs_kg.kg_triples(sf),
+        "kg_triple_counts": docs_kg.kg_triple_counts,
+        "eval_prf": eval_prf,
+        # relational operators (SQL-checked)
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_parts": relational.top_parts_by_price,
+        "events_hourly": relational.events_hourly,
+        "supplier_balance": relational.supplier_balance_by_nation,
+        "orders_priority": relational.orders_priority_counts,
+        # training-data ops (SQL-checked)
+        "doc_token_stats": doc_token_stats,
+        "doc_text_quality": doc_text_quality,
+        "exact_dedup_docs": exact_dedup_docs,
+        "knn_top10": knn_top10,
+        # rows-only (non-SQL-expressible)
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_candidates_docs": simhash_candidates_docs,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "knn_lsh_top10": knn_lsh_top10,
+        "langid_docs": langid_docs,
+        "doc_fingerprints": doc_fingerprints,
+        "multimodal_image_stub": multimodal_image_stub,
+        "pages_kg_flagship": pages_kg_flagship,
+        "cdb_stats": cdb_stats_query,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
+                                              entities_oracle_sql,
+                                              mentions_oracle_sql,
+                                              triple_counts_oracle_sql)
+
+    kg_triples_sql = (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT s.cui AS subj_cui, '{_PRED}' AS pred, o.cui AS obj_cui,
+       s.doc_id AS doc_id, s.start_pos AS subj_start,
+       o.start_pos AS obj_start
+FROM ents s JOIN ents o
+  ON s.doc_id = o.doc_id
+ AND o.start_pos > s.start_pos
+ AND o.start_pos - s.start_pos <= 300
+ AND s.source_value <> o.source_value
+""")
+
+    eval_prf_sql = (TOKEN_CTE.format(concepts=concept_values_sql()) + """
+, counts AS (
+  SELECT cui,
+         CAST(SUM(CASE WHEN length(source_value) >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(0 AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN length(source_value) >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS fn
+  FROM ents GROUP BY cui)
+SELECT cui, tp, fp, fn,
+       ROUND(tp * 1.0 / GREATEST(tp + fp, 1), 6) AS prec,
+       ROUND(tp * 1.0 / GREATEST(tp + fn, 1), 6) AS rec,
+       ROUND(2.0 * tp / GREATEST(2 * tp + fp + fn, 1), 6) AS f1
+FROM counts
+""")
+
+    return {
+        "kg_entities": entities_oracle_sql(),
+        "kg_mentions": mentions_oracle_sql(),
+        "kg_triples": kg_triples_sql,
+        "kg_triple_counts": triple_counts_oracle_sql(),
+        "eval_prf": eval_prf_sql,
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "top_parts": """
+SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "supplier_balance": """
+SELECT n_name, ROUND(SUM(s_acctbal), 2) AS total_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "orders_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+""",
+        "doc_token_stats": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+        "doc_text_quality": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       ROUND(list_aggregate(list_transform(string_split(text, ' '),
+                                           x -> length(x)), 'sum')
+             * 1.0 / len(string_split(text, ' ')), 6) AS mean_word_len,
+       ROUND(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('a', 'the')))
+             * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio
+FROM documents
+""",
+        "exact_dedup_docs": """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "knn_top10": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(e.embedding, q.qv), 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, neighbor_id ASC LIMIT 10
+""",
+    }

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship KG pipeline — Common-Crawl-style pages (derived
+deterministically from the sf documents table, replicated BENCH_REP times,
+cached + page-cache-warmed outside the timed region) → extract_text →
+annotate actor pool → co-occurrence triple counts.  Reports docs/s and
+triples/s plus per-query timings for representative operators.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": <dir>, "num_cpus": N, ...}
+
+``--scaling`` runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs and
+the scaling efficiency (BASELINE.md criterion; two-cluster-size proxy).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("BENCH_REP", "16"))
+
+
+def build_bench_pages(sf_dir: str, rep: int) -> str:
+    """Derive + cache the pages corpus (documents × rep, distinct urls)."""
+    import hashlib
+    import html as html_mod
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medcat_ray.fixtures import EPOCH_US, _HTML_TEMPLATE
+    from medcat_ray.functions.html import extract_text
+
+    tag = hashlib.sha1(f"{sf_dir}:{rep}".encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", f"medcat_ray_bench_pages_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    table = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "lang"])
+    for r in range(rep):
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for doc_id, text, lang in zip(table["doc_id"].to_pylist(),
+                                      table["text"].to_pylist(),
+                                      table["lang"].to_pylist()):
+            html = _HTML_TEMPLATE.format(
+                title=f"doc {doc_id} rep {r}", i=doc_id, nav="home nav",
+                paras=f"<p>{html_mod.escape(text)}</p>")
+            urls.append(f"https://docs.example/r{r}/{doc_id}")
+            tss.append(EPOCH_US + doc_id * 1_000_000 + r)
+            htmls.append(html.encode("utf-8"))
+            texts.append(extract_text(html))
+            langs.append(lang)
+        pq.write_table(pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }), os.path.join(out, f"part-{r:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from medcat_ray.pipelines import kg
+    from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
+
+    pages_dir = build_bench_pages(SF_DIR, REP)
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(
+        os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows * REP
+
+    cdb, vocab = docs_cdb()
+    models = kg.broadcast_models(cdb, vocab)
+    pool = max(2, int(NUM_CPUS * 0.75))
+
+    # Warm-up (untimed): OS page cache + Ray worker processes.  A fresh Ray
+    # worker pays ~1-2s of interpreter/import startup; Ray reuses idle
+    # workers, so one small pipeline run first makes the timed run measure
+    # steady-state throughput — the relevant quantity for a long job.
+    import ray.data as rd
+    rd.read_parquet(pages_dir, columns=["url"]).count()
+    warm = kg.annotate_pages(pages_dir, models, DOCS_CONFIG,
+                             concurrency=pool, batch_size=256).limit(2000)
+    kg.triple_counts(warm, mode="tree").to_pandas()
+
+    # --- headline: pages → extract → annotate → triple counts ------------
+    t0 = time.perf_counter()
+    annotated = kg.annotate_pages(pages_dir, models, DOCS_CONFIG,
+                                  concurrency=pool, batch_size=256)
+    # closed concept space → tree reduction (see kg.triple_counts docstring)
+    counts = kg.triple_counts(annotated, mode="tree").to_pandas()
+    headline = time.perf_counter() - t0
+    n_triples = int(counts["count"].sum())
+
+    queries = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    from medcat_ray.pipelines import docs_kg, relational
+    from medcat_ray.ops.dedup import exact_dedup, minhash_dedup_clusters
+    from medcat_ray.ops.textstats import add_langid, add_quality
+    from medcat_ray.ops.similarity import knn_bruteforce
+    import numpy as np
+
+    timed("kg_entities", lambda: docs_kg.kg_entities(SF_DIR).count())
+    timed("kg_triple_counts", lambda: docs_kg.kg_triple_counts(SF_DIR))
+    timed("exact_dedup", lambda: exact_dedup(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"])).count())
+    timed("minhash_dedup", lambda: minhash_dedup_clusters(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        concurrency=pool).count())
+    timed("langid_quality", lambda: add_quality(add_langid(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        concurrency=pool)).count())
+
+    def _knn():
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        q = pq.read_table(emb_path).to_pandas()
+        Q = np.array(q["embedding"].head(8).tolist(), dtype=np.float64)
+        knn_bruteforce(rd.read_parquet(emb_path), list(range(8)), Q, k=10,
+                       concurrency=pool).count()
+    timed("knn_bruteforce_8q", _knn)
+    timed("pricing_summary", lambda: relational.pricing_summary(SF_DIR))
+    timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rep": REP,
+        "n_docs": n_docs,
+        "n_triple_pairs": n_triples,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYTHONPATH=REPO)
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, cwd=REPO, capture_output=True,
+                             text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_low": lo, "cpus_high": hi,
+        "sec_low": t_lo, "sec_high": t_hi,
+        "docs_per_sec_low": r_lo["docs_per_sec"],
+        "docs_per_sec_high": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -30,20 +30,42 @@ def text_hashes(texts: Iterable[str]) -> List[int]:
     return [stable_u64(t.encode("utf-8", "surrogatepass")) for t in texts]
 
 
+_POLY_BASE = np.uint64(1_000_003)
+_POLY_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Distinct k-character-shingle hashes of a text as uint64.
 
     Character shingles (not word) so short/agglutinative texts still get a
-    signature; k=5 is the common near-dup setting."""
-    n = len(text)
+    signature; k=5 is the common near-dup setting.  Hashing is a vectorized
+    polynomial over UTF-32 codepoints with a splitmix-style finalizer —
+    process-stable and ~1000× faster than per-shingle digests."""
+    if not text:
+        return np.array([], dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le", "surrogatepass"),
+                          dtype=np.uint32).astype(np.uint64)
+    n = len(codes)
     if n < k:
-        data = text.encode("utf-8", "surrogatepass")
-        return np.array([stable_u64(data)], dtype=np.uint64) if text else \
-            np.array([], dtype=np.uint64)
-    seen = {text[i:i + k] for i in range(n - k + 1)}
-    return np.fromiter(
-        (stable_u64(s.encode("utf-8", "surrogatepass")) for s in seen),
-        dtype=np.uint64, count=len(seen))
+        h = np.uint64(0)
+        for c in codes:
+            h = h * _POLY_BASE + c
+        return np.unique(_mix64(np.array([h], dtype=np.uint64)))
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        H = np.zeros(m, dtype=np.uint64)
+        for t in range(k):  # k adds of vectorized slices (k is tiny)
+            H = H * _POLY_BASE + codes[t:t + m]
+    return np.unique(_mix64(H))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: spreads polynomial hashes over all 64 bits."""
+    with np.errstate(over="ignore"):
+        h = (h + _POLY_MIX)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
 
 
 def minhash_params(num_perm: int, seed: int = 1) -> tuple:

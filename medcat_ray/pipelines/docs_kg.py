@@ -1,0 +1,160 @@
+"""SQL-checkable KG pipeline over the driver's ``documents`` testdata table.
+
+The documents corpus has a closed, lowercase, single-space vocabulary, which
+lets the FULL annotate stage (tokenize → normalize → dictionary NER → link →
+overlap-resolve → project) be verified against an exact ANSI-SQL oracle:
+with single-token unambiguous P-status names, spell-check off, the engine's
+entities are precisely the matching tokens with cumulative-length offsets —
+expressible in DuckDB via string_split + window sums.
+
+The concept space below is FROZEN; ``__ray_entry__.oracle_sql`` embeds the
+same mapping as a VALUES list.  Every word: len ≥ 3 (``min_name_len``),
+not a stopword (NER first-token rule), fixed under the lemmatizer (so
+norm == lower == name), unique CUI (no disambiguation → similarity 1.0).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from medcat_ray.config import EngineConfig
+from medcat_ray.pipelines import kg
+from medcat_ray.state.cdb import CDB, prepare_name
+from medcat_ray.state.vocab import Vocab
+
+DOC_CONCEPTS: Dict[str, str] = {
+    "spark": "C0000001",
+    "join": "C0000002",
+    "filter": "C0000003",
+    "merge": "C0000004",
+    "window": "C0000005",
+    "stream": "C0000006",
+    "batch": "C0000007",
+    "vector": "C0000008",
+    "table": "C0000009",
+    "query": "C0000010",
+    "hash": "C0000011",
+    "customer": "C0000012",
+}
+
+DOCS_CONFIG = EngineConfig(spell_check=False)
+
+
+def docs_cdb() -> Tuple[CDB, Vocab]:
+    """CDB over the frozen concept words (status P, one CUI per name) and an
+    empty-vector vocab (no disambiguation needed — all names unambiguous)."""
+    cdb = CDB(DOCS_CONFIG)
+    for word, cui in sorted(DOC_CONCEPTS.items()):
+        cdb.add_concept(cui, prepare_name(word, DOCS_CONFIG), name_status="P")
+    return cdb, Vocab()
+
+
+def _annotated(sf_dir: str, concurrency=2, batch_size: int = 128):
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    return kg.annotate(docs, (cdb, vocab), DOCS_CONFIG,
+                       concurrency=concurrency, batch_size=batch_size,
+                       key_column="doc_id")
+
+
+def kg_entities(sf_dir: str) -> rd.Dataset:
+    """One row per linked mention: (doc_id, start_pos, end_pos, cui,
+    source_value)."""
+    ents = kg.entities(_annotated(sf_dir), key_column="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "start_pos": batch["start"],
+            "end_pos": batch["end"],
+            "cui": batch["cui"],
+            "source_value": batch["source_value"],
+        })
+    return ents.map_batches(project, batch_format="pyarrow")
+
+
+def kg_mentions(sf_dir: str) -> pd.DataFrame:
+    """(cui, n_mentions) over the corpus."""
+    ents = kg.entities(_annotated(sf_dir), key_column="doc_id")
+    out = ents.groupby("cui").aggregate(Count(alias_name="n_mentions")) \
+        .to_pandas()
+    return out.sort_values("cui").reset_index(drop=True)
+
+
+def kg_triples(sf_dir: str, window: int = 300) -> rd.Dataset:
+    """Provenance co-occurrence rows (subj_cui, pred, obj_cui, doc_id,
+    subj_start, obj_start)."""
+    return kg.triples(_annotated(sf_dir), window=window,
+                      key_column="doc_id")
+
+
+def kg_triple_counts(sf_dir: str, window: int = 300) -> pd.DataFrame:
+    """Corpus-level deduped (subj_cui, pred, obj_cui, count).
+
+    mode="tree": the concept space is closed (≤ len(DOC_CONCEPTS)² distinct
+    triples), so the shuffle-free tree reduction is provably safe."""
+    out = kg.triple_counts(_annotated(sf_dir), window=window,
+                           key_column="doc_id", mode="tree").to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
+
+
+def concept_values_sql() -> str:
+    """The frozen concept mapping as a SQL VALUES list (oracle side)."""
+    rows = ", ".join(f"('{w}', '{c}')" for w, c in sorted(DOC_CONCEPTS.items()))
+    return f"(VALUES {rows}) AS concepts(name, cui)"
+
+
+TOKEN_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), pos AS (
+  SELECT doc_id, tok, i,
+         CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS start_pos
+  FROM toks
+), ents AS (
+  SELECT p.doc_id, p.start_pos,
+         CAST(p.start_pos + length(p.tok) AS INT) AS end_pos,
+         concepts.cui, p.tok AS source_value
+  FROM pos p JOIN {concepts} ON p.tok = concepts.name
+)
+"""
+
+
+def entities_oracle_sql() -> str:
+    return (TOKEN_CTE.format(concepts=concept_values_sql())
+            + "SELECT doc_id, start_pos, end_pos, cui, source_value FROM ents")
+
+
+def mentions_oracle_sql() -> str:
+    return (TOKEN_CTE.format(concepts=concept_values_sql())
+            + "SELECT cui, count(*) AS n_mentions FROM ents GROUP BY cui")
+
+
+def triple_counts_oracle_sql(window: int = 300) -> str:
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT s.cui AS subj_cui,
+       'co_occurs_with' AS pred,
+       o.cui AS obj_cui,
+       count(*) AS count
+FROM ents s JOIN ents o
+  ON s.doc_id = o.doc_id
+ AND o.start_pos > s.start_pos
+ AND o.start_pos - s.start_pos <= {window}
+ AND s.source_value <> o.source_value
+GROUP BY s.cui, o.cui
+""")

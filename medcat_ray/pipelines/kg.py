@@ -87,16 +87,31 @@ def triples(annotated: rd.Dataset, window: int = 300,
 
 def triple_counts(annotated: rd.Dataset, window: int = 300,
                   pred: str = "co_occurs_with",
-                  key_column: str = "url") -> rd.Dataset:
+                  key_column: str = "url",
+                  mode: str = "shuffle") -> rd.Dataset:
     """Corpus-level deduped (subj, pred, obj, count) — A5/D5.
 
-    Partial counts per batch (combiner) → single groupby-aggregate.  The
-    groupby keys are the triple columns themselves; provenance stays in the
-    :func:`triples` table (already partition-resumable), keeping this
-    exchange minimal."""
+    Partial counts per batch (combiner) first; then either
+
+    * ``mode="shuffle"`` (default, the scale path): one groupby-aggregate
+      keyed by the triple columns — correct for open-world CDBs where the
+      distinct-triple set can be arbitrarily large; the per-batch combiner
+      already collapsed hot keys so skew is defused (SURVEY.md §7.3);
+    * ``mode="tree"``: two levels of coalesce + Arrow group_by — no sort
+      shuffle, near-zero fixed cost.  ONLY valid when the distinct triple
+      count provably fits one block (e.g. a closed concept space: K² keys);
+      callers with a small CDB should use this.
+
+    Provenance stays in the :func:`triples` table (partition-resumable),
+    keeping this exchange minimal either way."""
+    from medcat_ray.stages.triples import combine_partial_counts
     partial = annotated.map_batches(
         lambda b: partial_triple_counts(b, window, pred, key_column),
         batch_format="pyarrow")
+    if mode == "tree":
+        final = partial.repartition(1).map_batches(
+            combine_partial_counts, batch_format="pyarrow")
+        return final.rename_columns({"n": "count"})
     return partial.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(
         Sum("n", alias_name="count"))
 

@@ -1,0 +1,175 @@
+"""General relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's wide operators (groupby-aggregate, broadcast
+join, sort/limit, windowed event aggregation) in SQL-checkable form — every
+function here has a matching oracle in ``__ray_entry__.oracle_sql``.
+
+Conventions for oracle parity:
+* every aggregate/computed column is explicitly named, identically to the
+  SQL alias;
+* float aggregates are rounded (2 or 6 dp) on BOTH sides so summation-order
+  epsilon can't flip the value hash;
+* sorts carry a unique tie-break key.
+
+Scale notes: aggregations pre-combine per batch where the key space is
+small; the customer⋈orders⋈nation join broadcasts the dimension tables
+(``ray.put`` once, dict probe per batch) instead of shuffling the fact
+table — the SURVEY.md §2.4 J1/J2 pattern.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Pre-aggregates per batch into (flag, status) partials — the combiner
+    pattern — then one tiny groupby merges them."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("count_order", alias_name="count_order")) \
+        .to_pandas()
+    merged["avg_qty"] = (merged["sum_qty"] / merged["count_order"]).round(6)
+    merged["avg_disc"] = (merged["sum_disc"] / merged["count_order"]).round(6)
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        merged[col] = merged[col].round(2)
+    merged = merged.drop(columns=["sum_disc"])
+    return merged.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation revenue rollup with the small sides
+    broadcast (no shuffle join: dimension dicts probed per batch)."""
+    customer = pd.read_parquet(_t(sf_dir, "customer"),
+                               columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_t(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    cust2nation = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
+    nation2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((cust2nation, nation2name))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c2n, n2name = ray.get(ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["o_custkey"].map(
+            lambda c: n2name.get(c2n.get(c), "UNKNOWN"))
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def top_parts_by_price(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """sort + limit with a unique tie-break (p_partkey)."""
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    out = ds.sort(["p_retailprice", "p_partkey"],
+                  descending=[True, False]).limit(k).to_pandas()
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate: events per (event_type, hour bucket).
+
+    Ray Data has no event-time windows (SURVEY.md §2.9); a tumbling window
+    over bounded data IS a groupby on the truncated timestamp."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = out["sum_value"].round(3)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation aggregate (small tables, broadcast pattern)."""
+    nation = pd.read_parquet(_t(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(n2name)
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["s_nationkey"].map(m)
+        return pa.Table.from_pandas(
+            df[["n_name", "s_acctbal"]], preserve_index=False)
+
+    out = ds.map_batches(enrich, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Sum("s_acctbal", alias_name="total_acctbal"),
+            Count(alias_name="n_suppliers")).to_pandas()
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def orders_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """Plain grouped count + min/max aggregate over orders."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    out = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price")).to_pandas()
+    out["min_price"] = out["min_price"].round(2)
+    out["max_price"] = out["max_price"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

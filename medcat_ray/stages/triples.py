@@ -44,7 +44,8 @@ def explode_entities(batch: pa.Table, key_column: str = "url") -> pa.Table:
     keys = batch[key_column].to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(ents)
     cols: Dict[str, pa.Array] = {
-        key_column: pa.array(np.repeat(keys, lengths), type=pa.string()),
+        key_column: pa.array(np.repeat(keys, lengths),
+                             type=batch[key_column].type),
     }
     struct_type = flat.type
     for i in range(struct_type.num_fields):
@@ -56,7 +57,8 @@ def explode_entities(batch: pa.Table, key_column: str = "url") -> pa.Table:
 def _doc_pairs(starts: List[int], cuis: List[str], sources: List[str],
                window: int) -> List[Tuple[str, str, int, int]]:
     """Ordered co-occurrence pairs for one document (entities pre-sorted by
-    start)."""
+    start).  Reference semantics; kept as the readable oracle used by unit
+    tests — the hot path below is the vectorized equivalent."""
     pairs = []
     n = len(starts)
     for i in range(n):
@@ -71,33 +73,78 @@ def _doc_pairs(starts: List[int], cuis: List[str], sources: List[str],
     return pairs
 
 
+_TRIU_CACHE: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _batch_pair_indices(batch: pa.Table, window: int):
+    """Vectorized pair generation for a whole batch.
+
+    Returns (I, J, flat) where I/J index into the flattened entity arrays of
+    the batch and ``flat`` is the flattened ents StructArray — no Python
+    per-pair loop (the per-doc loop only does numpy slicing)."""
+    ents = batch["ents"]
+    if isinstance(ents, pa.ChunkedArray):
+        ents = ents.combine_chunks()
+    lengths = pc.list_value_length(ents).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(ents)
+    starts = pc.struct_field(flat, "start").to_numpy(zero_copy_only=False)
+    # dictionary-encode surface strings once per batch → int compare
+    src_idx = pc.dictionary_encode(pc.struct_field(flat, "source_value")) \
+        .indices.to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    out_i: List[np.ndarray] = []
+    out_j: List[np.ndarray] = []
+    for d in range(len(lengths)):
+        n = int(lengths[d])
+        if n < 2:
+            continue
+        cached = _TRIU_CACHE.get(n)
+        if cached is None:
+            cached = np.triu_indices(n, 1)
+            if len(_TRIU_CACHE) < 4096:
+                _TRIU_CACHE[n] = cached
+        ti, tj = cached
+        o = offsets[d]
+        s = starts[o:o + n]
+        src = src_idx[o:o + n]
+        mask = (s[tj] - s[ti] <= window) & (src[ti] != src[tj])
+        if mask.any():
+            out_i.append(o + ti[mask])
+            out_j.append(o + tj[mask])
+    if not out_i:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, flat
+    return np.concatenate(out_i), np.concatenate(out_j), flat
+
+
 def gen_triple_rows(batch: pa.Table, window: int = 300,
                     pred: str = "co_occurs_with",
                     key_column: str = "url") -> pa.Table:
     """Stateless map_batches UDF: annotate output → provenance triple rows
     (subj_cui, pred, obj_cui, url, subj_start, obj_start)."""
-    ents_col = batch["ents"].to_pylist()
-    keys = batch[key_column].to_pylist()
-    subj, obj, urls, s_starts, o_starts = [], [], [], [], []
-    for key, ents in zip(keys, ents_col):
-        if not ents or len(ents) < 2:
-            continue
-        starts = [e["start"] for e in ents]
-        cuis = [e["cui"] for e in ents]
-        sources = [e["source_value"] for e in ents]
-        for s_cui, o_cui, s_st, o_st in _doc_pairs(starts, cuis, sources, window):
-            subj.append(s_cui)
-            obj.append(o_cui)
-            urls.append(key)
-            s_starts.append(s_st)
-            o_starts.append(o_st)
+    I, J, flat = _batch_pair_indices(batch, window)
+    n_pairs = len(I)
+    cui = pc.struct_field(flat, "cui")
+    starts = pc.struct_field(flat, "start")
+    # map pair indices back to their document's key: searchsorted on offsets
+    ents = batch["ents"]
+    if isinstance(ents, pa.ChunkedArray):
+        ents = ents.combine_chunks()
+    lengths = pc.list_value_length(ents).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.cumsum(lengths)
+    doc_of_pair = np.searchsorted(offsets, I, side="right")
+    keys = batch[key_column].combine_chunks() \
+        if isinstance(batch[key_column], pa.ChunkedArray) else batch[key_column]
     return pa.table({
-        "subj_cui": pa.array(subj, type=pa.string()),
-        "pred": pa.array([pred] * len(subj), type=pa.string()),
-        "obj_cui": pa.array(obj, type=pa.string()),
-        "url": pa.array(urls, type=pa.string()),
-        "subj_start": pa.array(s_starts, type=pa.int32()),
-        "obj_start": pa.array(o_starts, type=pa.int32()),
+        "subj_cui": pc.take(cui, pa.array(I)),
+        "pred": pa.array([pred] * n_pairs, type=pa.string()),
+        "obj_cui": pc.take(cui, pa.array(J)),
+        key_column: pc.take(keys, pa.array(doc_of_pair)),
+        "subj_start": pc.take(starts, pa.array(I)),
+        "obj_start": pc.take(starts, pa.array(J)),
     })
 
 
@@ -109,21 +156,33 @@ def partial_triple_counts(batch: pa.Table, window: int = 300,
     Emits one row per distinct triple per batch — the pre-aggregation that
     makes the following global groupby cheap and skew-proof (SURVEY.md §7.3:
     hot triples collapse before the shuffle)."""
-    ents_col = batch["ents"].to_pylist()
-    counts: Dict[Tuple[str, str], int] = {}
-    for ents in ents_col:
-        if not ents or len(ents) < 2:
-            continue
-        starts = [e["start"] for e in ents]
-        cuis = [e["cui"] for e in ents]
-        sources = [e["source_value"] for e in ents]
-        for s_cui, o_cui, _, _ in _doc_pairs(starts, cuis, sources, window):
-            key = (s_cui, o_cui)
-            counts[key] = counts.get(key, 0) + 1
-    keys = sorted(counts)
+    I, J, flat = _batch_pair_indices(batch, window)
+    if len(I) == 0:
+        return pa.table({"subj_cui": pa.array([], type=pa.string()),
+                         "pred": pa.array([], type=pa.string()),
+                         "obj_cui": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    # dictionary-encode CUIs once → pair key = subj_id * K + obj_id → bincount
+    cui_dict = pc.dictionary_encode(pc.struct_field(flat, "cui"))
+    cui_idx = cui_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cui_vals = cui_dict.dictionary
+    K = len(cui_vals)
+    pair_keys = cui_idx[I] * K + cui_idx[J]
+    uniq, counts = np.unique(pair_keys, return_counts=True)
+    subj_ids = (uniq // K).astype(np.int64)
+    obj_ids = (uniq % K).astype(np.int64)
     return pa.table({
-        "subj_cui": pa.array([k[0] for k in keys], type=pa.string()),
-        "pred": pa.array([pred] * len(keys), type=pa.string()),
-        "obj_cui": pa.array([k[1] for k in keys], type=pa.string()),
-        "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+        "subj_cui": pc.take(cui_vals, pa.array(subj_ids)),
+        "pred": pa.array([pred] * len(uniq), type=pa.string()),
+        "obj_cui": pc.take(cui_vals, pa.array(obj_ids)),
+        "n": pa.array(counts, type=pa.int64()),
     })
+
+
+def combine_partial_counts(batch: pa.Table) -> pa.Table:
+    """Merge partial-count rows: group (subj,pred,obj) and sum n — one level
+    of a tree reduction (pure Arrow group_by, no shuffle)."""
+    if batch.num_rows == 0:
+        return batch
+    g = batch.group_by(["subj_cui", "pred", "obj_cui"]).aggregate([("n", "sum")])
+    return g.rename_columns(["subj_cui", "pred", "obj_cui", "n"])
