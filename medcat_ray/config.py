@@ -64,6 +64,8 @@ class EngineConfig:
     prefer_primary_name: float = 0.35          # config.py:568
     prefer_frequent_concepts: float = 0.35     # config.py:570
     context_ignore_center_tokens: bool = False  # config.py:577
+    negative_probability: float = 0.5           # config.py:564 (training)
+    calculate_dynamic_threshold: bool = False   # config.py:558 (training)
 
     # --- linking filters (medcat/config.py:466-529): allow/deny CUI sets ---
     cuis_allow: FrozenSet[str] = frozenset()     # empty = allow all
@@ -81,6 +83,34 @@ class EngineConfig:
 
     def with_overrides(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        """JSON-able snapshot (model-pack serialization, SURVEY.md S8)."""
+        import dataclasses
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, frozenset):
+                v = sorted(v)
+            elif isinstance(v, tuple):
+                v = list(v)
+            out[f.name] = v
+        return out
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        import dataclasses
+        kw = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if isinstance(getattr(DEFAULT_CONFIG, f.name), frozenset):
+                v = frozenset(v)
+            elif isinstance(getattr(DEFAULT_CONFIG, f.name), tuple):
+                v = tuple(v)
+            kw[f.name] = v
+        return cls(**kw)
 
 
 # Compiled once at import; the reference compiles these in Config.__init__

@@ -230,6 +230,46 @@ class CDB:
         if not negative:
             self.cui2count_train[cui] = count + 1
 
+    def get_name(self, cui: str) -> str:
+        """Preferred name, else the longest name, else the CUI
+        (reference /root/reference/medcat/cdb.py:125-145)."""
+        if cui in self.cui2preferred_name and self.cui2preferred_name[cui]:
+            return self.cui2preferred_name[cui]
+        names = self.cui2names.get(cui)
+        if names:
+            longest = max(sorted(names), key=len)
+            return longest.replace(self.config.separator, " ")
+        return cui
+
+    def reset_training(self) -> None:
+        """Drop learned vectors/counts (reference ``CDB.reset_training``,
+        /root/reference/medcat/cdb.py:192-201) — used by
+        ``train(fine_tune=False)``."""
+        self.cui2count_train = {}
+        self.cui2context_vectors = {}
+        self.name2count_train = {}
+        self.cui2average_confidence = {}
+
+    def import_training(self, other: "CDB", overwrite: bool = True) -> None:
+        """Merge another CDB's learned context vectors into this one
+        (reference ``CDB.import_training``, /root/reference/medcat/cdb.py:585-611):
+        overwrite replaces, else averages; counts always add.  Only concepts
+        already present here are touched — the shape of a distributed
+        training merge (SURVEY.md J4)."""
+        for cui, vectors in other.cui2context_vectors.items():
+            if cui not in self.cui2names:
+                continue
+            mine = self.cui2context_vectors.setdefault(cui, {})
+            for ctx_type, vec in vectors.items():
+                vec = np.asarray(vec, dtype=np.float32)
+                if overwrite or ctx_type not in mine:
+                    mine[ctx_type] = vec.copy()
+                else:
+                    mine[ctx_type] = (mine[ctx_type] + vec) / 2
+            self.cui2count_train[cui] = (
+                self.cui2count_train.get(cui, 0)
+                + other.cui2count_train.get(cui, 0))
+
     def update_cui2average_confidence(self, cui: str, new_sim: float) -> None:
         # Reference /root/reference/medcat/cdb.py:145-148 (running mean).
         cnt = self.cui2count_train.get(cui, 0)

@@ -1,0 +1,169 @@
+"""Sources: UMLS MRCONSO (S3), SNOMED RF2 (S4), MCT export (S6),
+model pack (S8)."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def umls_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("umls")
+    # MRCONSO.RRF: 18 pipe-separated fields + trailing pipe.
+    def conso(cui, lat, ispref, scui, sab, code, name):
+        f = [""] * 18
+        f[0], f[1], f[6], f[9], f[11], f[13], f[14] = \
+            cui, lat, ispref, scui, sab, code, name
+        return "|".join(f) + "|"
+    rows = [
+        conso("C01", "ENG", "Y", "111", "SNOMEDCT_US", "111", "kidney failure"),
+        conso("C01", "ENG", "N", "111", "SNOMEDCT_US", "111", "renal failure"),
+        conso("C01", "FRE", "Y", "", "MSHFRE", "F1", "insuffisance renale"),
+        conso("C02", "ENG", "Y", "", "ICD10", "N18", "chronic kidney disease"),
+        conso("C03", "ENG", "Y", "", "MSH", "D3", "unmapped concept"),
+    ]
+    (d / "MRCONSO.RRF").write_text("\n".join(rows) + "\n")
+    sty = ["C01|T047|x|Disease|a||", "C02|T047|x|Disease|a||",
+           "C02|T121|x|Drug|a||"]
+    (d / "MRSTY.RRF").write_text("\n".join(sty) + "\n")
+    return str(d)
+
+
+def test_umls_concept_dataset(ray_session, umls_files):
+    from medcat_ray.sources.umls import umls_concept_dataset
+    df = umls_concept_dataset(
+        os.path.join(umls_files, "MRCONSO.RRF"),
+        os.path.join(umls_files, "MRSTY.RRF")).to_pandas()
+    # FRE row dropped (language filter); C03 dropped (no TUI → inner join);
+    # C02 fans out to 2 TUIs.
+    assert len(df) == 4
+    assert set(df["cui"]) == {"C01", "C02"}
+    c02 = df[df["cui"] == "C02"]
+    assert sorted(c02["type_ids"]) == ["T047", "T121"]
+    assert set(df.columns) == {"cui", "name", "ontologies", "name_status",
+                               "type_ids"}
+
+
+def test_umls2snomed_and_source(ray_session, umls_files):
+    from medcat_ray.sources.umls import umls2icd10, umls2snomed
+    sn = umls2snomed(os.path.join(umls_files, "MRCONSO.RRF")).to_pandas()
+    assert len(sn) == 2 and set(sn["SCUI"]) == {"111"}
+    icd = umls2icd10(os.path.join(umls_files, "MRCONSO.RRF")).to_pandas()
+    assert len(icd) == 1 and icd["CODE"].iloc[0] == "N18"
+
+
+@pytest.fixture(scope="module")
+def rf2_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rf2")
+    concept_hdr = "id\teffectiveTime\tactive\tmoduleId\tdefinitionStatusId"
+    concepts = [concept_hdr,
+                "1001\t20230101\t1\tm\tdef",
+                "1002\t20230101\t1\tm\tdef",
+                "1003\t20230101\t0\tm\tdef"]      # inactive
+    (d / "concepts.txt").write_text("\n".join(concepts) + "\n")
+    desc_hdr = ("id\teffectiveTime\tactive\tmoduleId\tconceptId\t"
+                "languageCode\ttypeId\tterm\tcaseSignificanceId")
+    descs = [desc_hdr,
+             "d1\t2023\t1\tm\t1001\ten\t900000000000003001\t"
+             "Myocardial infarction (disorder)\tcs",
+             "d2\t2023\t1\tm\t1001\ten\t900000000000013009\tHeart attack\tcs",
+             "d3\t2023\t1\tm\t1002\ten\t900000000000003001\t"
+             "Aspirin (substance)\tcs",
+             "d4\t2023\t0\tm\t1001\ten\t900000000000013009\tOld name\tcs",
+             "d5\t2023\t1\tm\t1003\ten\t900000000000003001\t"
+             "Inactive concept (disorder)\tcs"]
+    (d / "descriptions.txt").write_text("\n".join(descs) + "\n")
+    rel_hdr = ("id\teffectiveTime\tactive\tmoduleId\tsourceId\tdestinationId\t"
+               "relationshipGroup\ttypeId\tcharacteristicTypeId\tmodifierId")
+    rels = [rel_hdr,
+            "r1\t2023\t1\tm\t1001\t1002\t0\t116680003\tc\tmod",   # is-a
+            "r2\t2023\t1\tm\t1002\t1001\t0\t363698007\tc\tmod",   # finding site
+            "r3\t2023\t0\tm\t1001\t1003\t0\t116680003\tc\tmod"]   # inactive
+    (d / "relationships.txt").write_text("\n".join(rels) + "\n")
+    return str(d)
+
+
+def test_snomed_concepts(ray_session, rf2_files):
+    from medcat_ray.sources.snomed import (snomed_concept_dataset,
+                                           type_id_for_tag)
+    df = snomed_concept_dataset(
+        os.path.join(rf2_files, "concepts.txt"),
+        os.path.join(rf2_files, "descriptions.txt")).to_pandas()
+    # d4 inactive, d5's concept inactive → 3 rows.
+    assert len(df) == 3
+    mi = df[df["cui"] == "1001"].sort_values("name_status")
+    assert list(mi["name_status"]) == ["A", "P"]
+    assert set(mi["name"]) == {"Myocardial infarction (disorder)",
+                               "Heart attack"}
+    assert (df["ontologies"] == "SNOMED-CT").all()
+    # type id = hashed FSN semantic tag, shared by both 1001 rows.
+    expected = str(type_id_for_tag("disorder"))
+    assert set(mi["type_ids"]) == {expected}
+
+
+def test_snomed_relationships(ray_session, rf2_files):
+    from medcat_ray.sources.snomed import (list_all_relationships,
+                                           relationship_map,
+                                           snomed_relationships)
+    path = os.path.join(rf2_files, "relationships.txt")
+    df = snomed_relationships(path).to_pandas()
+    assert len(df) == 2       # r3 inactive
+    assert set(zip(df["subj_cui"], df["pred"], df["obj_cui"])) == {
+        ("1001", "116680003", "1002"), ("1002", "363698007", "1001")}
+    assert list_all_relationships(path) == ["116680003", "363698007"]
+    assert relationship_map(path, "116680003") == {"1002": ["1001"]}
+
+
+@pytest.fixture(scope="module")
+def mct_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mct")
+    export = {"projects": [{
+        "name": "p", "id": 1, "cuis": "C01,C02", "tuis": "",
+        "documents": [
+            {"id": 10, "name": "doc10", "text": "kidney failure seen",
+             "last_modified": "", "annotations": [
+                 {"start": 0, "end": 14, "cui": "C01",
+                  "value": "kidney failure", "correct": True,
+                  "deleted": False, "alternative": False, "killed": False,
+                  "manually_created": False}]},
+            {"id": 11, "name": "doc11", "text": "no findings",
+             "last_modified": "", "annotations": []},
+        ]}]}
+    p = d / "export.json"
+    p.write_text(json.dumps(export))
+    return str(p)
+
+
+def test_mct_export(ray_session, mct_file):
+    from medcat_ray.sources.mct_export import (read_mct_annotations,
+                                               read_mct_documents)
+    docs = read_mct_documents(mct_file).to_pandas()
+    assert len(docs) == 2 and set(docs["doc_id"]) == {"10", "11"}
+    anns = read_mct_annotations(mct_file).to_pandas()
+    assert len(anns) == 1
+    a = anns.iloc[0]
+    assert (a["cui"], a["start"], a["end"], bool(a["correct"])) == \
+        ("C01", 0, 14, True)
+
+
+def test_model_pack_roundtrip(tmp_path):
+    from medcat_ray.config import EngineConfig
+    from medcat_ray.fixtures import build_fixture_models
+    from medcat_ray.state.model_pack import load_model_pack, save_model_pack
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    cdb, vocab = build_fixture_models(str(mdir), n_cuis=20)
+    cfg = EngineConfig(min_name_len=4)
+    pack = tmp_path / "pack"
+    h1 = save_model_pack(str(pack), cdb, vocab, cfg)
+    cdb2, vocab2, cfg2, h2 = load_model_pack(str(pack))
+    assert h1 == h2
+    assert cfg2.min_name_len == 4
+    assert cdb2.name2cuis == cdb.name2cuis
+    assert cdb2.content_hash() == cdb.content_hash()
+    assert len(vocab2) == len(vocab)
+    # hash must move when the model changes
+    cdb.add_concept_rows([{"cui": "X99", "name": "brand new concept"}])
+    h3 = save_model_pack(str(pack), cdb, vocab, cfg)
+    assert h3 != h1
