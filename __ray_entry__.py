@@ -222,13 +222,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cdb, _ = docs_cdb()
         return pd.DataFrame([cdb.stats()])
 
+    # --- ontology sources over deterministically derived release files ----
+    # The RF2/RRF fixtures are pure functions of the sf parquet tables, so
+    # the parsers are end-to-end SQL-checkable against those tables.
+
+    def _rf2_dir(sf_dir):
+        import hashlib
+        import pyarrow.parquet as pq
+        tag = hashlib.sha1(f"rf2:{sf_dir}".encode()).hexdigest()[:8]
+        d = os.path.join(tempfile.gettempdir(), f"medcat_ray_rf2_{tag}")
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            os.makedirs(d, exist_ok=True)
+            part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                                 columns=["p_partkey"])
+            keys = sorted(part["p_partkey"].to_pylist())
+            hdr = ("id\teffectiveTime\tactive\tmoduleId\tsourceId\t"
+                   "destinationId\trelationshipGroup\ttypeId\t"
+                   "characteristicTypeId\tmodifierId")
+            rows = [hdr]
+            for k in keys:
+                active = "1" if k % 3 else "0"
+                type_id = "116680003" if k % 2 == 0 else "363698007"
+                rows.append(f"r{k}\t20230101\t{active}\tm\t{k}\t{k % 97}\t0\t"
+                            f"{type_id}\tc\tmod")
+            with open(os.path.join(d, "relationships.txt"), "w") as fh:
+                fh.write("\n".join(rows) + "\n")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        return d
+
+    def snomed_rels_query(sf_dir):
+        from medcat_ray.sources.snomed import snomed_relationships
+        path = os.path.join(_rf2_dir(sf_dir), "relationships.txt")
+        df = snomed_relationships(path).to_pandas()
+        return df.sort_values(["subj_cui", "pred"]).reset_index(drop=True)
+
+    def _rrf_dir(sf_dir):
+        import hashlib
+        import pyarrow.parquet as pq
+        tag = hashlib.sha1(f"rrf:{sf_dir}".encode()).hexdigest()[:8]
+        d = os.path.join(tempfile.gettempdir(), f"medcat_ray_rrf_{tag}")
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            os.makedirs(d, exist_ok=True)
+            sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                                columns=["s_suppkey", "s_name"])
+            conso, sty = [], []
+            for k, name in sorted(zip(sup["s_suppkey"].to_pylist(),
+                                      sup["s_name"].to_pylist())):
+                f = [""] * 18
+                f[0] = f"C{k}"
+                f[1] = "ENG" if k % 5 else "FRE"   # some rows language-drop
+                f[6] = "Y"
+                f[9] = str(k)
+                f[11] = "SNOMEDCT_US"
+                f[13] = str(k)
+                f[14] = name
+                conso.append("|".join(f) + "|")
+                if k % 7:                           # some rows have no TUI
+                    sty.append(f"C{k}|T{k % 5:03d}|x|SemType|a||")
+            with open(os.path.join(d, "MRCONSO.RRF"), "w") as fh:
+                fh.write("\n".join(conso) + "\n")
+            with open(os.path.join(d, "MRSTY.RRF"), "w") as fh:
+                fh.write("\n".join(sty) + "\n")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        return d
+
+    def umls_concepts_query(sf_dir):
+        from medcat_ray.sources.umls import umls_concept_dataset
+        d = _rrf_dir(sf_dir)
+        df = umls_concept_dataset(os.path.join(d, "MRCONSO.RRF"),
+                                  os.path.join(d, "MRSTY.RRF")).to_pandas()
+        return df.sort_values("cui").reset_index(drop=True)
+
+    def doc_split_query(sf_dir):
+        import ray.data as rd
+        from medcat_ray.ops.split import add_split
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+        return add_split(ds).select_columns(["doc_id", "split"])
+
     return {
         # KG pipeline (SQL-checked, full annotate+triple stages)
         "kg_entities": docs_kg.kg_entities,
         "kg_mentions": docs_kg.kg_mentions,
         "kg_triples": lambda sf: docs_kg.kg_triples(sf),
         "kg_triple_counts": docs_kg.kg_triple_counts,
+        "kg_meta": docs_kg.kg_meta,
+        "kg_deid": docs_kg.kg_deid,
+        "kg_train_counts": docs_kg.kg_train_counts,
         "eval_prf": eval_prf,
+        # ontology sources (SQL-checked over derived release files)
+        "snomed_relationships": snomed_rels_query,
+        "umls_concepts": umls_concepts_query,
         # relational operators (SQL-checked)
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -251,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_stub": multimodal_image_stub,
         "pages_kg_flagship": pages_kg_flagship,
         "cdb_stats": cdb_stats_query,
+        "doc_split": doc_split_query,
     }
 
 
@@ -289,12 +378,32 @@ SELECT cui, tp, fp, fn,
 FROM counts
 """)
 
+    from medcat_ray.pipelines.docs_kg import (deid_oracle_sql,
+                                              meta_oracle_sql,
+                                              train_counts_oracle_sql)
     return {
         "kg_entities": entities_oracle_sql(),
         "kg_mentions": mentions_oracle_sql(),
         "kg_triples": kg_triples_sql,
         "kg_triple_counts": triple_counts_oracle_sql(),
+        "kg_meta": meta_oracle_sql(),
+        "kg_deid": deid_oracle_sql(),
+        "kg_train_counts": train_counts_oracle_sql(),
         "eval_prf": eval_prf_sql,
+        "snomed_relationships": """
+SELECT CAST(p_partkey AS VARCHAR) AS subj_cui,
+       CASE WHEN p_partkey % 2 = 0 THEN '116680003'
+            ELSE '363698007' END AS pred,
+       CAST(p_partkey % 97 AS VARCHAR) AS obj_cui,
+       '0' AS relationship_group
+FROM part WHERE p_partkey % 3 <> 0
+""",
+        "umls_concepts": """
+SELECT 'C' || s_suppkey AS cui, s_name AS name,
+       'SNOMEDCT_US' AS ontologies, 'Y' AS name_status,
+       'T' || lpad(CAST(s_suppkey % 5 AS VARCHAR), 3, '0') AS type_ids
+FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 5 <> 0
+""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -129,10 +129,124 @@ WITH toks AS (
 ), ents AS (
   SELECT p.doc_id, p.start_pos,
          CAST(p.start_pos + length(p.tok) AS INT) AS end_pos,
-         concepts.cui, p.tok AS source_value
+         concepts.cui, p.tok AS source_value, p.i AS tok_i
   FROM pos p JOIN {concepts} ON p.tok = concepts.name
 )
 """
+
+
+# Meta-annotation rule over corpus words (the documents vocabulary has no
+# natural negation cues, so the trigger lexicon is drawn from it — the
+# window/scope semantics are the reference's cntx_left=15).
+META_TRIGGERS = ("slow", "dup")
+
+
+def kg_meta(sf_dir: str) -> rd.Dataset:
+    """SQL-checked meta-annotation (T2): one row per entity with the
+    rule-model's Negation-style value over the 15-token left window."""
+    from medcat_ray.stages.meta import MetaRule, meta_annotate
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    ann = docs.map_batches(
+        __import__("medcat_ray.stages.annotate",
+                   fromlist=["AnnotateStage"]).AnnotateStage,
+        fn_constructor_kwargs=dict(models=(cdb, vocab), config=DOCS_CONFIG,
+                                   key_column="doc_id",
+                                   keep_columns=("text",)),
+        batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=1)
+    rules = [MetaRule("Negation", META_TRIGGERS, "Negated", "Affirmed",
+                      scope="left")]
+    meta = meta_annotate(ann, rules=rules, concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "start_pos": [], "cui": [], "negation": []}
+        for doc_id, ents, metas in zip(batch["doc_id"].to_pylist(),
+                                       batch["ents"].to_pylist(),
+                                       batch["meta_anns"].to_pylist()):
+            for ent, anns in zip(ents or [], metas or []):
+                rows["doc_id"].append(doc_id)
+                rows["start_pos"].append(ent["start"])
+                rows["cui"].append(ent["cui"])
+                rows["negation"].append(anns[0]["value"])
+        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "start_pos": pa.array(rows["start_pos"], pa.int32()),
+                         "cui": pa.array(rows["cui"], pa.string()),
+                         "negation": pa.array(rows["negation"], pa.string())})
+
+    return meta.map_batches(explode, batch_format="pyarrow")
+
+
+def meta_oracle_sql() -> str:
+    trig = ", ".join(f"'{t}'" for t in META_TRIGGERS)
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT e.doc_id, e.start_pos, e.cui,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM pos q
+         WHERE q.doc_id = e.doc_id
+           AND q.i BETWEEN e.tok_i - 15 AND e.tok_i - 1
+           AND q.tok IN ({trig}))
+       THEN 'Negated' ELSE 'Affirmed' END AS negation
+FROM ents e
+""")
+
+
+def kg_deid(sf_dir: str) -> rd.Dataset:
+    """SQL-checked DeId (M15): concept tokens replaced by
+    ``[<preferred name>]`` (which equals the token for this frozen CDB)."""
+    from medcat_ray.functions.deid import deid
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    ann = docs.map_batches(
+        __import__("medcat_ray.stages.annotate",
+                   fromlist=["AnnotateStage"]).AnnotateStage,
+        fn_constructor_kwargs=dict(models=(cdb, vocab), config=DOCS_CONFIG,
+                                   key_column="doc_id",
+                                   keep_columns=("text",)),
+        batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=1)
+    return deid(ann, (cdb, vocab), key_column="doc_id")
+
+
+def deid_oracle_sql() -> str:
+    names = ", ".join(f"'{w}'" for w in sorted(DOC_CONCEPTS))
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT p.doc_id,
+       string_agg(CASE WHEN p.tok IN ({names}) THEN '[' || p.tok || ']'
+                       ELSE p.tok END, ' ' ORDER BY p.i) AS text_deid
+FROM pos p
+GROUP BY p.doc_id
+""")
+
+
+def kg_train_counts(sf_dir: str) -> pd.DataFrame:
+    """SQL-checked distributed training (T5 order-free path): per-CUI
+    trainable-mention counts from
+    :func:`medcat_ray.pipelines.train.train_unsupervised_distributed`.
+    With this frozen CDB every name is single-candidate non-N and ≥
+    disamb_length_limit chars, so the count equals the mention count."""
+    from medcat_ray.pipelines.train import train_unsupervised_distributed
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    # vectors need a non-empty vocab: train with word vectors present
+    vv = Vocab()
+    import numpy as np
+    rng = np.random.default_rng(0)
+    for w in sorted(DOC_CONCEPTS):
+        vv.add_word(w, cnt=10, vec=rng.normal(size=4))
+    result = train_unsupervised_distributed(docs, (cdb, vv), DOCS_CONFIG,
+                                            concurrency=2)
+    out = pd.DataFrame(
+        {"cui": sorted(result),
+         "n_train": [result[c]["count"] for c in sorted(result)]})
+    out["n_train"] = out["n_train"].astype("int64")
+    return out
+
+
+def train_counts_oracle_sql() -> str:
+    return (TOKEN_CTE.format(concepts=concept_values_sql())
+            + "SELECT cui, count(*) AS n_train FROM ents GROUP BY cui")
 
 
 def entities_oracle_sql() -> str:
