@@ -45,19 +45,35 @@ class Trainer:
     # -- unsupervised (T5) -------------------------------------------------
 
     def train_unsupervised(self, texts: Iterable[str], nepochs: int = 1,
-                           fine_tune: bool = True) -> int:
+                           fine_tune: bool = True,
+                           checkpoint_dir: Optional[str] = None,
+                           checkpoint_steps: int = 1000,
+                           is_resumed: bool = False) -> int:
         """Reference ``CAT.train`` (cat.py:620-674) + the Linker train branch
         (context_based_linker.py:62-88): for every detected mention, train
         its CUI iff the name is long enough AND (single candidate with
         status != N, or any candidate with status P/PD).  Returns number of
-        positive updates."""
+        positive updates.
+
+        Checkpointing mirrors the reference ``CheckpointManager``
+        (cat.py:601-618; utils/checkpoint.py:94-144): every
+        ``checkpoint_steps`` documents the whole CDB is snapshotted to
+        ``checkpoint_dir/checkpoint-<steps>-<count>``; ``is_resumed=True``
+        restores the latest snapshot and fast-forwards the iterator."""
         if not fine_tune:
             self.cdb.reset_training()
         cfg = self.config
         n_updates = 0
         texts = list(texts)
+        done_docs = 0
+        if is_resumed and checkpoint_dir:
+            done_docs = self._restore_checkpoint(checkpoint_dir)
+        doc_idx = -1
         for _ in range(nepochs):
             for text in texts:
+                doc_idx += 1
+                if doc_idx < done_docs:
+                    continue          # fast-forward (checkpoint.py:130-137)
                 if not text:
                     continue
                 text = str(text).strip()[: cfg.max_document_length]
@@ -81,7 +97,39 @@ class Trainer:
                             if statuses.get(cui, "") in ("P", "PD"):
                                 self._train_mention(cui, ent, ctx, name)
                                 n_updates += 1
+                if checkpoint_dir and (doc_idx + 1) % checkpoint_steps == 0:
+                    self._save_checkpoint(checkpoint_dir, doc_idx + 1)
+        if checkpoint_dir:
+            self._save_checkpoint(checkpoint_dir, doc_idx + 1)
         return n_updates
+
+    def _save_checkpoint(self, checkpoint_dir: str, count: int) -> str:
+        import os
+        path = os.path.join(checkpoint_dir, f"checkpoint-1-{count}")
+        os.makedirs(path, exist_ok=True)
+        self.cdb.save(path)
+        return path
+
+    def _restore_checkpoint(self, checkpoint_dir: str) -> int:
+        """Load the latest CDB snapshot in place; returns its doc count."""
+        import os
+        if not os.path.isdir(checkpoint_dir):
+            return 0
+        best = 0
+        for name in os.listdir(checkpoint_dir):
+            parts = name.split("-")
+            if len(parts) == 3 and parts[0] == "checkpoint":
+                best = max(best, int(parts[2]))
+        if best:
+            restored = CDB.load(
+                os.path.join(checkpoint_dir, f"checkpoint-1-{best}"),
+                self.config)
+            self.cdb.cui2context_vectors = restored.cui2context_vectors
+            self.cdb.cui2count_train = restored.cui2count_train
+            self.cdb.name2count_train = restored.name2count_train
+            self.cdb.cui2average_confidence = restored.cui2average_confidence
+            self.cdb.name2cuis2status = restored.name2cuis2status
+        return best
 
     def _train_mention(self, cui: str, ent: Entity, ctx: _DocContext,
                        name: str, negative: bool = False,

@@ -78,6 +78,33 @@ def prf_global(per_cui: pd.DataFrame) -> dict:
             "recall": round(rec, 6), "f1": round(f1, 6)}
 
 
+def merge_fold_stats(folds: Sequence[pd.DataFrame]) -> pd.DataFrame:
+    """K-fold metrics merge (SURVEY.md A6; reference
+    /root/reference/medcat/stats/kfold.py:137-480): per-fold per-CUI
+    (tp, fp, fn) frames summed, then P/R/F1 recomputed over the totals —
+    identical to the reference folding of per-fold counters into overall
+    metrics."""
+    if not folds:
+        return pd.DataFrame(columns=["cui", "tp", "fp", "fn",
+                                     "prec", "rec", "f1"])
+    merged = pd.concat([f[["cui", "tp", "fp", "fn"]] for f in folds]) \
+        .groupby("cui", as_index=False).sum()
+    tp, fp, fn = merged["tp"], merged["fp"], merged["fn"]
+    merged["prec"] = (tp / (tp + fp).clip(lower=1)).round(6)
+    merged["rec"] = (tp / (tp + fn).clip(lower=1)).round(6)
+    merged["f1"] = (2 * tp / (2 * tp + fp + fn).clip(lower=1)).round(6)
+    return merged.sort_values("cui").reset_index(drop=True)
+
+
+def top_errors(per_cui: pd.DataFrame, kind: str = "fp",
+               n: int = 10) -> pd.DataFrame:
+    """FP/FN leaderboards (SURVEY.md O4; reference
+    /root/reference/medcat/stats/stats.py:207-228): sort counters desc,
+    take the top n."""
+    return per_cui.sort_values([kind, "cui"], ascending=[False, True]) \
+        .head(n).reset_index(drop=True)
+
+
 def most_similar(cdb, cui: str, ctx_type: str = "medium",
                  topn: int = 10) -> List[Tuple[str, float]]:
     """Brute-force cosine of one CUI's context vector against all others
