@@ -147,10 +147,41 @@ def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
     step for iterated min-label-propagation groupby rounds (same edge
     input; standard trade-off documented in the Ray guide).
     """
+    import ray
+
     buckets = minhash_buckets(ds, num_perm, bands, shingle_k, id_col,
                               text_col, concurrency)
-    edges = buckets.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_edges(g, id_col), batch_format="pandas")
+    # Star edges WITHOUT a per-group Python call (map_groups pays ~100µs
+    # of pandas overhead per bucket — 70k tiny buckets made it the whole
+    # wall time): one NATIVE groupby computes each bucket's (min id, size);
+    # only NON-singleton buckets — volume ∝ duplicate rate, not corpus
+    # size — are broadcast and probed per batch to emit (id, rep) edges.
+    bucket_rep = buckets.groupby(["band", "band_hash"]).aggregate(
+        Min(id_col, alias_name="rep"), Count(alias_name="n"))
+
+    def non_singleton(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], 1))
+
+    cand = bucket_rep.map_batches(non_singleton,
+                                  batch_format="pyarrow").to_pandas()
+    rep_map = {(b, h): r for b, h, r in zip(cand["band"], cand["band_hash"],
+                                            cand["rep"])}
+    rep_ref = ray.put(rep_map)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        reps = ray.get(rep_ref)
+        ids_out, reps_out = [], []
+        for doc_id, band, bhash in zip(batch[id_col].to_pylist(),
+                                       batch["band"].to_pylist(),
+                                       batch["band_hash"].to_pylist()):
+            rep = reps.get((band, bhash))
+            if rep is not None:
+                ids_out.append(doc_id)
+                reps_out.append(rep)
+        return pa.table({id_col: pa.array(ids_out),
+                         "rep": pa.array(reps_out)})
+
+    edges = buckets.map_batches(probe, batch_format="pyarrow")
     labels = edges.groupby(id_col).aggregate(Min("rep", alias_name="rep"))
     lbl_df = labels.to_pandas()
     parent = dict(zip(lbl_df[id_col], lbl_df["rep"]))
