@@ -75,6 +75,7 @@ class Token:
         return f"Token({self.text!r}@{self.start})"
 
 
+_LOWER_ALNUM = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
 _WORD_RE = re.compile(r"[A-Za-z0-9@]+")
 _WORD_RE_DIACRITICS = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+")
 
@@ -141,15 +142,20 @@ def tag_tokens(tokens: List[Token], config: EngineConfig,
     """Tag punctuation / skip / stopword flags (reference M3,
     medcat/preprocessing/taggers.py:37-52)."""
     stop = STOPWORDS if stopwords is None else stopwords
-    word_skipper = word_skipper_pattern(config.words_to_skip)
+    # The reference's word_skipper regex is ^(w1|w2|…)$ over the skip words
+    # (medcat/config.py:612-613) — exactly set membership, which avoids both
+    # the per-document pattern build and a per-token regex call.
+    skip_words = config.words_to_skip
     keep_punct = config.keep_punct
     skip_stop = config.skip_stopwords
     for token in tokens:
         token.is_stop = token.lower in stop
-        if PUNCT_CHECKER.match(token.lower) and token.text not in keep_punct:
+        # PUNCT_CHECKER ([^a-z0-9]+, re.match) is true iff the FIRST char is
+        # outside [a-z0-9] — a set test, not a regex call.
+        if token.lower[0] not in _LOWER_ALNUM and token.text not in keep_punct:
             token.is_punct = True
             token.to_skip = True
-        elif word_skipper.match(token.lower):
+        elif token.lower in skip_words:
             token.to_skip = True
         elif skip_stop and token.is_stop:
             token.to_skip = True
