@@ -148,3 +148,45 @@ def test_poison_document_does_not_fail_block(ray_session, fixture_models):
         .to_pandas()
     assert len(out) == 3
     assert out.loc[out["url"] == "u2", "n_ents"].iloc[0] == 0
+
+
+def test_partitioned_crash_recovery(ray_session, fixture_models, pages_dir,
+                                    tmp_path):
+    """Simulated mid-partition crash: first fragment committed, second left
+    as a stale ``.tmp`` (what a kill leaves behind).  The rerun must replace
+    the stale tmp and produce output identical to an uninterrupted run."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from medcat_ray.pipelines import kg
+    from medcat_ray.pipelines.runner import partition_id, run_partitioned
+    cdb, vocab = fixture_models
+    models = kg.broadcast_models(cdb, vocab)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[:2]
+
+    def part_fn(path):
+        a = kg.annotate_pages(path, models, concurrency=2, batch_size=16)
+        return {"entities": kg.entities(a)}
+
+    def collect(out):
+        dfs = [pq.read_table(f).to_pandas() for f in sorted(
+            glob.glob(os.path.join(out, "entities", "part=*", "*.parquet")))]
+        return pd.concat(dfs).sort_values(
+            ["url", "start", "cui"]).reset_index(drop=True)
+
+    # "crashed" run: only file 0 committed; file 1 has garbage .tmp
+    out = str(tmp_path / "crashed")
+    run_partitioned(files[:1], out, part_fn, cdb.content_hash())
+    stale = os.path.join(out, "entities",
+                         f"part={partition_id(files[1])}.tmp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    # recovery run over all files
+    recs = run_partitioned(files, out, part_fn, cdb.content_hash())
+    assert len(recs) == 2
+    assert not os.path.isdir(stale)
+
+    ref_out = str(tmp_path / "clean")
+    run_partitioned(files, ref_out, part_fn, cdb.content_hash())
+    pd.testing.assert_frame_equal(collect(out), collect(ref_out))
