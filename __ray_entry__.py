@@ -153,6 +153,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_near_dups(ds, threshold=0.95)
 
+    def knn_ivf_top10(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from medcat_ray.ops.similarity import knn_ivf
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        q = pq.read_table(path).to_pandas()
+        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+        return knn_ivf(rd.read_parquet(path), [0], qv[None, :], k=10,
+                       concurrency=2)
+
     def knn_lsh_top10(sf_dir):
         import numpy as np
         import pyarrow.parquet as pq
@@ -322,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "top_parts": relational.top_parts_by_price,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
+        "user_sessions": relational.user_sessions,
         "supplier_balance": relational.supplier_balance_by_nation,
         "orders_priority": relational.orders_priority_counts,
         # training-data ops (SQL-checked)
@@ -334,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates_docs": simhash_candidates_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "knn_lsh_top10": knn_lsh_top10,
+        "knn_ivf_top10": knn_ivf_top10,
         "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
         "multimodal_image_stub": multimodal_image_stub,
@@ -431,6 +446,37 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 3) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "events_sliding": """
+WITH fan AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts)
+           - k * (INTERVAL 15 MINUTE) AS window_start
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT event_type, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value
+FROM fan GROUP BY event_type, window_start
+""",
+        "user_sessions": """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value
+FROM s GROUP BY user_id, sess
 """,
         "supplier_balance": """
 SELECT n_name, ROUND(SUM(s_acctbal), 2) AS total_acctbal,

@@ -135,3 +135,94 @@ def knn_lsh(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
     pruned = ds.map_batches(keep_probed, batch_format="pyarrow")
     return knn_bruteforce(pruned, query_ids, query_matrix, k,
                           id_col, vec_col, concurrency)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(sample: np.ndarray, n_cells: int, seed: int = 13,
+                        iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means (fixed seed + iteration count) on a
+    driver-side sample — the coarse quantizer of an IVF index.  The sample
+    is model-sized (n_cells × ~100 vectors), not corpus-sized."""
+    rng = np.random.default_rng(seed)
+    S = _unit(np.asarray(sample, dtype=np.float64))
+    n_cells = min(n_cells, len(S))
+    C = S[rng.choice(len(S), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(n_cells):
+            members = S[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def knn_ivf(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
+            n_cells: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 13, sample_size: int = 2048,
+            concurrency: int = 4) -> rd.Dataset:
+    """IVF approximate top-k: vectors partition into ``n_cells`` Voronoi
+    cells of a trained coarse quantizer; each query scans only its
+    ``nprobe`` nearest cells.
+
+    Scale shape: centroids are broadcast (model-sized); cell assignment and
+    the filtered brute-force scan are one fused ``map_batches`` — at
+    10^12 vectors the cell id would instead be a write-time partition
+    column so probed cells prune at the READ (documented scale path).
+    """
+    import ray
+
+    sample = np.array([r[vec_col] for r in ds.take(sample_size)],
+                      dtype=np.float64)
+    C = train_ivf_centroids(sample, n_cells, seed)
+    Q = _unit(np.asarray(query_matrix, dtype=np.float64))
+    # nprobe nearest cells per query
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    probed_sets = [set(row.tolist()) for row in probe]
+    state_ref = ray.put((list(query_ids), Q, C, probed_sets))
+
+    class IVFScan:
+        def __init__(self) -> None:
+            self.query_ids, self.Q, self.C, self.probed = ray.get(state_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            V = _unit(_as_matrix(batch[vec_col]))
+            cells = np.argmax(V @ self.C.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                mask = np.isin(cells, list(self.probed[qi]))
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                S = self.Q[qi] @ V[mask].T
+                kk = min(self.k, len(sub_ids))
+                top = np.argpartition(-S, kk - 1)[:kk] if kk < len(sub_ids) \
+                    else np.arange(len(sub_ids))
+                for j in top:
+                    out_q.append(qid)
+                    out_n.append(sub_ids[j])
+                    out_s.append(S[j])
+            return pa.table({
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "score": pa.array(np.round(out_s, 6)),
+            })
+
+    partials = ds.map_batches(IVFScan, batch_format="pyarrow",
+                              concurrency=concurrency)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", "neighbor_id"],
+                                 ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")

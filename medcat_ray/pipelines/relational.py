@@ -173,3 +173,72 @@ def orders_priority_counts(sf_dir: str) -> pd.DataFrame:
     out["min_price"] = out["min_price"].round(2)
     out["max_price"] = out["max_price"].round(2)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_sliding(sf_dir: str, window_min: int = 60,
+                   slide_min: int = 15) -> pd.DataFrame:
+    """Sliding-window aggregate: per (event_type, window_start), counts/sums
+    over a ``window_min`` window sliding every ``slide_min``.
+
+    Ray-native shape: each event fans out to the window_min/slide_min
+    windows that cover it (vectorized numpy bucket math), pre-combined per
+    batch, then one small groupby — the exchange carries per-window partial
+    rows, never per-event rows."""
+    k = window_min // slide_min
+    slide_us = slide_min * 60 * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = df["ts"].astype("int64").to_numpy()     # µs
+        base = (epoch // slide_us) * slide_us
+        frames = []
+        for i in range(k):
+            d = pd.DataFrame({"event_type": df["event_type"],
+                              "window_start": base - i * slide_us,
+                              "value": df["value"]})
+            frames.append(d)
+        out = pd.concat(frames).groupby(
+            ["event_type", "window_start"], as_index=False).agg(
+                n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value")).to_pandas()
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(3)
+    return out.sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
+    """Sessionization: per user, events sorted by time split into sessions
+    at gaps > ``gap_min`` minutes; one row per session.
+
+    Partitioning assumption (documented per SURVEY §7.3): all events of one
+    user co-locate via the groupby; per-group work is vectorized pandas
+    (diff/cumsum), so wide users cost O(events) numpy, not Python loops."""
+    gap = pd.Timedelta(minutes=gap_min)
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session"] = new_session.cumsum()
+        out = g.groupby("session", as_index=False).agg(
+            user_id=("user_id", "first"), session_start=("ts", "min"),
+            session_end=("ts", "max"), n_events=("ts", "size"),
+            sum_value=("value", "sum"))
+        return out.drop(columns=["session"])
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas") \
+        .to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(3)
+    return out.sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)

@@ -174,3 +174,36 @@ def test_multimodal_stub_stages(ray_session):
     aud = sample_audio_frames(rd.from_items(rows), concurrency=1).to_pandas()
     assert aud["frame_energy"].map(len).eq(4).all()
     assert (aud["duration_sec"] > 0).all()
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN: valid scores, deterministic, recall vs brute force ≥ 0.6
+    at nprobe=4/16 cells on the fixture embeddings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from medcat_ray.ops.similarity import knn_bruteforce, knn_ivf
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    q = pq.read_table(path).to_pandas()
+    Q = np.array(q["embedding"].head(4).tolist(), dtype=np.float64)
+    qids = list(range(4))
+    ds = rd.read_parquet(path)
+    exact = knn_bruteforce(ds, qids, Q, k=10, concurrency=2).to_pandas()
+    approx = knn_ivf(rd.read_parquet(path), qids, Q, k=10, n_cells=16,
+                     nprobe=4, concurrency=2).to_pandas()
+    approx2 = knn_ivf(rd.read_parquet(path), qids, Q, k=10, n_cells=16,
+                      nprobe=4, concurrency=2).to_pandas()
+    # deterministic across runs
+    a = approx.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    b = approx2.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        ap = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & ap) / max(1, len(e)))
+    assert sum(recalls) / len(recalls) >= 0.6
+    # every approx hit must carry the exact cosine score
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"],
+                          suffixes=("_a", "_e"))
+    assert (abs(merged["score_a"] - merged["score_e"]) < 1e-6).all()
