@@ -41,7 +41,9 @@ def entry() -> Any:
     sf_dir = "/root/testdata/sf0.001"
     pages_dir = os.path.join(tempfile.gettempdir(),
                              "medcat_ray_entry_pages_sf0001")
-    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+    if not os.path.exists(os.path.join(pages_dir, "_DONE")):
+        import shutil
+        shutil.rmtree(pages_dir, ignore_errors=True)
         pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
                              pages_dir)
     cdb, vocab = docs_cdb()
@@ -220,7 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
         pages_dir = os.path.join(tempfile.gettempdir(),
                                  f"medcat_ray_pages_{tag}")
-        if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        if not os.path.exists(os.path.join(pages_dir, "_DONE")):
+            import shutil
+            shutil.rmtree(pages_dir, ignore_errors=True)
             pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
                                  pages_dir)
         cdb, vocab = docs_cdb()

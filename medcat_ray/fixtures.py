@@ -271,4 +271,6 @@ def pages_from_documents(documents_path: str, out_path: str,
         })
         pq.write_table(out, os.path.join(out_path, f"part-{fidx:05d}.parquet"))
         fidx += 1
-    return out_path
+    with open(os.path.join(out_path, "_DONE"), "w") as fh:
+        fh.write("ok")   # completeness marker: callers treat a dir without
+    return out_path      # it as a crashed partial write and rebuild
