@@ -156,6 +156,17 @@ def run_bench() -> dict:
     timed("knn_bruteforce_8q", _knn)
     timed("pricing_summary", lambda: relational.pricing_summary(SF_DIR))
     timed("events_hourly", lambda: relational.events_hourly(SF_DIR))
+    timed("events_sliding", lambda: relational.events_sliding(SF_DIR))
+    timed("user_sessions", lambda: relational.user_sessions(SF_DIR))
+
+    def _ivf():
+        from medcat_ray.ops.similarity import knn_ivf
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        q = pq.read_table(emb_path).to_pandas()
+        Q = np.array(q["embedding"].head(8).tolist(), dtype=np.float64)
+        knn_ivf(rd.read_parquet(emb_path), list(range(8)), Q, k=10,
+                concurrency=pool).count()
+    timed("knn_ivf_8q", _ivf)
 
     ray.shutdown()
     return {
