@@ -190,7 +190,11 @@ def lemmatize(word: str) -> str:
     n = len(word)
     if word.endswith("ies") and n > 4:
         return word[:-3] + "y"
-    if word.endswith("ss"):
+    if word.endswith(("ss", "us", "is")):
+        # spaCy keeps these: reference goldens show 'virus'→'virus'
+        # (tests/test_cdb_maker.py:47) while 'viruses'→'viruse'
+        # (tests/test_ner.py:69-71) — the -s strip must not fire on
+        # -us/-ss/-is words.
         return word
     if word.endswith("s") and n > 3:
         return word[:-1]

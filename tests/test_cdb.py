@@ -108,3 +108,62 @@ def test_vocab_tsv_roundtrip(tmp_path):
     v2 = Vocab.load(str(tmp_path / "v"))
     assert v2.word2cnt == vocab.word2cnt
     np.testing.assert_allclose(v2.vec("house"), vocab.vec("house"))
+
+
+def test_cdb_maker_reference_goldens():
+    """Reproduce the reference CDBMaker load-test expectations
+    (/root/reference/tests/test_cdb_maker.py:46-113) on the same concept
+    CSV inputs (/root/reference/examples/cdb.csv, cdb_2.csv content)."""
+    import csv
+    import io
+    from medcat_ray.config import EngineConfig
+    from medcat_ray.state.cdb import CDB
+    cdb = CDB(EngineConfig())
+    csv1 = (
+        "cui,name,ontologies,name_status,type_ids,description\n"
+        'C0000039,"Virus",MSH,P,T109|T123,Synthetic phospholipid used\n'
+        'C0000039,"Virus M",,,T234,\n'
+        'C0000039,"Virus M |Virus K|Virus Z",,,,\n'
+        'C0000139,"Virus M|Virus K|Virus Z",,P,,\n'
+        'C0000139,"Virus",,A,,\n')
+    csv2 = ("cui,name,ontologies,name_status,type_ids,description\n"
+            'C0000239,"Second csv",,,,\n')
+    for c in (csv1, csv2):
+        cdb.add_concept_rows(csv.DictReader(io.StringIO(c)), full_build=True)
+
+    # test_ab_cdb_names_output
+    assert cdb.cui2names == {
+        "C0000039": {"virus~k", "virus", "virus~m", "virus~z"},
+        "C0000139": {"virus~k", "virus", "virus~m", "virus~z"},
+        "C0000239": {"second~csv"}}
+    # test_ad_cdb_snames_output
+    assert cdb.cui2snames["C0000239"] == {"second", "second~csv"}
+    # test_af_cdb_name_to_cuis_output
+    assert cdb.name2cuis == {
+        "virus": ["C0000039", "C0000139"],
+        "virus~m": ["C0000039", "C0000139"],
+        "virus~k": ["C0000039", "C0000139"],
+        "virus~z": ["C0000039", "C0000139"],
+        "second~csv": ["C0000239"]}
+    # test_aj_cdb_cui_to_preferred_name_output
+    assert cdb.cui2preferred_name == {"C0000039": "Virus",
+                                      "C0000139": "Virus Z"}
+    # test_ap_cdb_name_to_cui_to_status_output
+    assert cdb.name2cuis2status == {
+        "virus": {"C0000039": "P", "C0000139": "A"},
+        "virus~m": {"C0000039": "A", "C0000139": "P"},
+        "virus~k": {"C0000039": "A", "C0000139": "P"},
+        "virus~z": {"C0000039": "A", "C0000139": "P"},
+        "second~csv": {"C0000239": "A"}}
+    # test_ar_cdb_cui_to_type_ids_output
+    assert cdb.cui2type_ids == {"C0000039": {"T234", "T109", "T123"},
+                                "C0000139": set(), "C0000239": set()}
+    # test_at (addl_info subset)
+    assert cdb.addl_info["cui2ontologies"] == {"C0000039": {"MSH"}}
+    assert cdb.addl_info["cui2original_names"]["C0000139"] == {
+        "Virus K", "Virus M", "Virus", "Virus Z"}
+    assert cdb.addl_info["type_id2cuis"] == {
+        "T109": {"C0000039"}, "T123": {"C0000039"}, "T234": {"C0000039"}}
+    # empty training state (test_ak/am)
+    assert cdb.cui2context_vectors == {}
+    assert cdb.cui2count_train == {}
