@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": docs_kg.kg_mentions,
         "kg_triples": lambda sf: docs_kg.kg_triples(sf),
         "kg_triple_counts": docs_kg.kg_triple_counts,
+        "kg_typed_triples": docs_kg.kg_typed_triples,
         "kg_meta": docs_kg.kg_meta,
         "kg_deid": docs_kg.kg_deid,
         "kg_train_counts": docs_kg.kg_train_counts,
@@ -399,12 +400,14 @@ FROM counts
 
     from medcat_ray.pipelines.docs_kg import (deid_oracle_sql,
                                               meta_oracle_sql,
-                                              train_counts_oracle_sql)
+                                              train_counts_oracle_sql,
+                                              typed_triples_oracle_sql)
     return {
         "kg_entities": entities_oracle_sql(),
         "kg_mentions": mentions_oracle_sql(),
         "kg_triples": kg_triples_sql,
         "kg_triple_counts": triple_counts_oracle_sql(),
+        "kg_typed_triples": typed_triples_oracle_sql(),
         "kg_meta": meta_oracle_sql(),
         "kg_deid": deid_oracle_sql(),
         "kg_train_counts": train_counts_oracle_sql(),

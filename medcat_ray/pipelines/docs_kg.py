@@ -46,13 +46,24 @@ DOC_CONCEPTS: Dict[str, str] = {
 
 DOCS_CONFIG = EngineConfig(spell_check=False)
 
+# Frozen per-concept semantic types (for the RelCAT type-pair rules):
+# operator-like words vs object-like words.
+DOC_TYPES: Dict[str, str] = {
+    "spark": "T_OP", "join": "T_OP", "filter": "T_OP", "merge": "T_OP",
+    "window": "T_OP", "stream": "T_OP", "batch": "T_OP", "query": "T_OP",
+    "hash": "T_OP",
+    "vector": "T_OBJ", "table": "T_OBJ", "customer": "T_OBJ",
+}
+
 
 def docs_cdb() -> Tuple[CDB, Vocab]:
-    """CDB over the frozen concept words (status P, one CUI per name) and an
-    empty-vector vocab (no disambiguation needed — all names unambiguous)."""
+    """CDB over the frozen concept words (status P, one CUI per name, one
+    semantic type each) and an empty-vector vocab (no disambiguation needed
+    — all names unambiguous)."""
     cdb = CDB(DOCS_CONFIG)
     for word, cui in sorted(DOC_CONCEPTS.items()):
-        cdb.add_concept(cui, prepare_name(word, DOCS_CONFIG), name_status="P")
+        cdb.add_concept(cui, prepare_name(word, DOCS_CONFIG),
+                        name_status="P", type_ids={DOC_TYPES[word]})
     return cdb, Vocab()
 
 
@@ -105,6 +116,42 @@ def kg_triple_counts(sf_dir: str, window: int = 300) -> pd.DataFrame:
                            key_column="doc_id", mode="tree").to_pandas()
     out["count"] = out["count"].astype("int64")
     return out.sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
+
+
+def kg_typed_triples(sf_dir: str, window: int = 300) -> pd.DataFrame:
+    """Typed-predicate edges (RelCAT type-pair rules): only OP→OBJ and
+    OBJ→OP pairs survive, labeled 'operates_on' / 'feeds'; grouped counts."""
+    from ray.data.aggregate import Count
+    rows = kg.triples(
+        _annotated(sf_dir), window=window, key_column="doc_id",
+        typed_preds={("T_OP", "T_OBJ"): "operates_on",
+                     ("T_OBJ", "T_OP"): "feeds"})
+    out = rows.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(
+        Count(alias_name="count")).to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values(["subj_cui", "pred", "obj_cui"]) \
+        .reset_index(drop=True)
+
+
+def typed_triples_oracle_sql(window: int = 300) -> str:
+    ops = ", ".join(f"'{w}'" for w, t in sorted(DOC_TYPES.items())
+                    if t == "T_OP")
+    objs = ", ".join(f"'{w}'" for w, t in sorted(DOC_TYPES.items())
+                     if t == "T_OBJ")
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT s.cui AS subj_cui,
+       CASE WHEN s.source_value IN ({ops}) THEN 'operates_on'
+            ELSE 'feeds' END AS pred,
+       o.cui AS obj_cui, count(*) AS count
+FROM ents s JOIN ents o
+  ON s.doc_id = o.doc_id
+ AND o.start_pos > s.start_pos
+ AND o.start_pos - s.start_pos <= {window}
+ AND s.source_value <> o.source_value
+WHERE (s.source_value IN ({ops}) AND o.source_value IN ({objs}))
+   OR (s.source_value IN ({objs}) AND o.source_value IN ({ops}))
+GROUP BY 1, 2, 3
+""")
 
 
 def concept_values_sql() -> str:

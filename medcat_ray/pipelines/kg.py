@@ -78,10 +78,18 @@ def entities(annotated: rd.Dataset, key_column: str = "url") -> rd.Dataset:
 
 def triples(annotated: rd.Dataset, window: int = 300,
             pred: str = "co_occurs_with",
-            key_column: str = "url") -> rd.Dataset:
-    """Provenance triple rows — one row per co-occurrence pair."""
+            key_column: str = "url",
+            type_filter_pairs=None, typed_preds=None) -> rd.Dataset:
+    """Provenance triple rows — one row per co-occurrence pair.
+
+    ``type_filter_pairs`` keeps only pairs whose entity types match a rule
+    (reference RelCAT ``relation_type_filter_pairs``,
+    /root/reference/medcat/utils/relation_extraction/rel_dataset.py:425-440);
+    ``typed_preds`` additionally maps {(t1, t2): predicate} so edges carry
+    typed predicates instead of the constant co-occurrence label."""
     return annotated.map_batches(
-        lambda b: gen_triple_rows(b, window, pred, key_column),
+        lambda b: gen_triple_rows(b, window, pred, key_column,
+                                  type_filter_pairs, typed_preds),
         batch_format="pyarrow")
 
 

@@ -119,12 +119,68 @@ def _batch_pair_indices(batch: pa.Table, window: int):
     return np.concatenate(out_i), np.concatenate(out_j), flat
 
 
+def _type_membership(flat, types_needed) -> Dict[str, np.ndarray]:
+    """Per-entity bool mask "has type t" for each needed type id, from the
+    ``type_ids`` list column — vectorized (flatten + repeat owner index)."""
+    tl = pc.struct_field(flat, "type_ids")
+    n = len(tl)
+    lengths = pc.list_value_length(tl).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    owner = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    ft = np.asarray(pc.list_flatten(tl).to_pylist(), dtype=object)
+    masks: Dict[str, np.ndarray] = {}
+    for t in types_needed:
+        m = np.zeros(n, dtype=bool)
+        if len(ft):
+            m[owner[ft == t]] = True
+        masks[t] = m
+    return masks
+
+
+def apply_type_rules(I: np.ndarray, J: np.ndarray, flat,
+                     type_filter_pairs=None, typed_preds=None,
+                     default_pred: str = "co_occurs_with"):
+    """RelCAT type semantics (reference
+    /root/reference/medcat/utils/relation_extraction/rel_dataset.py:425-440):
+    keep a pair iff some (t1, t2) rule matches (subj has t1, obj has t2);
+    ``typed_preds`` additionally maps the FIRST matching rule to a predicate
+    label (our typed-KG extension of the reference's filter).
+
+    Returns (I, J, preds) with preds a list aligned to the kept pairs."""
+    rules = list(typed_preds.items()) if typed_preds else \
+        [(p, None) for p in (type_filter_pairs or [])]
+    if not rules:
+        return I, J, [default_pred] * len(I)
+    types_needed = {t for (t1, t2), _ in
+                    [((r[0][0], r[0][1]), r[1]) for r in rules]
+                    for t in (t1, t2)}
+    masks = _type_membership(flat, types_needed)
+    keep = np.zeros(len(I), dtype=bool)
+    pred_out = np.full(len(I), None, dtype=object)
+    for (t1, t2), label in rules:
+        m = masks[t1][I] & masks[t2][J] & ~keep
+        keep |= masks[t1][I] & masks[t2][J]
+        pred_out[m] = label if label is not None else default_pred
+    if type_filter_pairs is not None or typed_preds is not None:
+        I, J, pred_out = I[keep], J[keep], pred_out[keep]
+    return I, J, pred_out.tolist()
+
+
 def gen_triple_rows(batch: pa.Table, window: int = 300,
                     pred: str = "co_occurs_with",
-                    key_column: str = "url") -> pa.Table:
+                    key_column: str = "url",
+                    type_filter_pairs=None,
+                    typed_preds=None) -> pa.Table:
     """Stateless map_batches UDF: annotate output → provenance triple rows
     (subj_cui, pred, obj_cui, url, subj_start, obj_start)."""
     I, J, flat = _batch_pair_indices(batch, window)
+    if type_filter_pairs or typed_preds:
+        I, J, preds = apply_type_rules(I, J, flat, type_filter_pairs,
+                                       typed_preds, pred)
+        I = np.asarray(I, dtype=np.int64)
+        J = np.asarray(J, dtype=np.int64)
+    else:
+        preds = None
     n_pairs = len(I)
     cui = pc.struct_field(flat, "cui")
     starts = pc.struct_field(flat, "start")
@@ -140,7 +196,8 @@ def gen_triple_rows(batch: pa.Table, window: int = 300,
         if isinstance(batch[key_column], pa.ChunkedArray) else batch[key_column]
     return pa.table({
         "subj_cui": pc.take(cui, pa.array(I)),
-        "pred": pa.array([pred] * n_pairs, type=pa.string()),
+        "pred": pa.array(preds if preds is not None else [pred] * n_pairs,
+                         type=pa.string()),
         "obj_cui": pc.take(cui, pa.array(J)),
         key_column: pc.take(keys, pa.array(doc_of_pair)),
         "subj_start": pc.take(starts, pa.array(I)),
