@@ -124,6 +124,75 @@ def triple_counts(annotated: rd.Dataset, window: int = 300,
         Sum("n", alias_name="count"))
 
 
+def triple_counts_salted(annotated: rd.Dataset, window: int = 300,
+                         pred: str = "co_occurs_with",
+                         key_column: str = "url",
+                         salt_buckets: int = 16) -> rd.Dataset:
+    """Two-stage salted aggregation for open-world concept spaces with
+    head-CUI skew (SURVEY.md §7.3).
+
+    The per-batch combiner already collapses hot triples to one row per
+    batch; at 10^12-doc scale a head triple still lands ``n_blocks`` rows on
+    ONE reducer.  Stage 1 groups on (triple, salt) — salt spreads those rows
+    over ``salt_buckets`` reducers — stage 2 merges the ≤ salt_buckets
+    partials per triple.  Exchange volume is unchanged; per-reducer maximum
+    drops by the bucket factor."""
+    import pyarrow.compute as _pc
+    from medcat_ray.ops.hashing import stable_u64
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # Block-content salt: stable across retries of the same block,
+        # different across blocks — exactly what spreads a hot key.
+        if batch.num_rows == 0:
+            return batch.append_column("salt", pa.array([], pa.int32()))
+        h = stable_u64(
+            b"%d:%s" % (batch.num_rows,
+                        batch["subj_cui"][0].as_py().encode()
+                        if batch.num_rows else b""))
+        salt = int(h % salt_buckets)
+        return batch.append_column(
+            "salt", pa.array([salt] * batch.num_rows, pa.int32()))
+
+    partial = annotated.map_batches(
+        lambda b: partial_triple_counts(b, window, pred, key_column),
+        batch_format="pyarrow").map_batches(add_salt, batch_format="pyarrow")
+    stage1 = partial.groupby(["subj_cui", "pred", "obj_cui", "salt"]) \
+        .aggregate(Sum("n", alias_name="n"))
+    return stage1.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(
+        Sum("n", alias_name="count"))
+
+
+def materialize_graph(annotated: rd.Dataset, cdb: CDB, out_dir: str,
+                      window: int = 300, pred: str = "co_occurs_with",
+                      key_column: str = "url",
+                      mode: str = "shuffle") -> dict:
+    """Graph materialize (SURVEY.md §7.1 step 7): write the KG as
+    ``nodes/`` (one row per CUI with CDB attributes — model-sized,
+    driver-built) and ``edges/`` (deduped triple counts) parquet.
+
+    Returns {"nodes": n, "edges": n}."""
+    import os
+    cuis = sorted(cdb.cui2names)
+    nodes = pa.table({
+        "cui": pa.array(cuis, pa.string()),
+        "pretty_name": pa.array([cdb.get_name(c) for c in cuis], pa.string()),
+        "type_ids": pa.array([sorted(cdb.cui2type_ids.get(c, set()))
+                              for c in cuis], pa.list_(pa.string())),
+        "count_train": pa.array([cdb.cui2count_train.get(c, 0)
+                                 for c in cuis], pa.int64()),
+    })
+    os.makedirs(os.path.join(out_dir, "nodes"), exist_ok=True)
+    import pyarrow.parquet as pq
+    pq.write_table(nodes, os.path.join(out_dir, "nodes", "nodes.parquet"))
+    edges = triple_counts(annotated, window=window, pred=pred,
+                          key_column=key_column, mode=mode)
+    edges.write_parquet(os.path.join(out_dir, "edges"))
+    import glob as _glob
+    n_edges = sum(pq.ParquetFile(f).metadata.num_rows for f in
+                  _glob.glob(os.path.join(out_dir, "edges", "*.parquet")))
+    return {"nodes": nodes.num_rows, "edges": n_edges}
+
+
 def annotate_pages(pages_path: Union[str, Sequence[str]],
                    models: Union["ray.ObjectRef", Tuple[CDB, Vocab], str],
                    config: Optional[EngineConfig] = None,

@@ -190,3 +190,37 @@ def test_partitioned_crash_recovery(ray_session, fixture_models, pages_dir,
     ref_out = str(tmp_path / "clean")
     run_partitioned(files, ref_out, part_fn, cdb.content_hash())
     pd.testing.assert_frame_equal(collect(out), collect(ref_out))
+
+
+def test_salted_counts_match_shuffle(ray_session, fixture_models, pages_dir):
+    from medcat_ray.pipelines import kg
+    cdb, vocab = fixture_models
+    models = kg.broadcast_models(cdb, vocab)
+
+    def ann():
+        return kg.annotate_pages(pages_dir, models, concurrency=2,
+                                 batch_size=16)
+    base = kg.triple_counts(ann()).to_pandas() \
+        .sort_values(["subj_cui", "pred", "obj_cui"]).reset_index(drop=True)
+    salted = kg.triple_counts_salted(ann(), salt_buckets=4).to_pandas() \
+        .sort_values(["subj_cui", "pred", "obj_cui"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, salted[base.columns.tolist()],
+                                  check_dtype=False)
+
+
+def test_materialize_graph(ray_session, fixture_models, pages_dir, tmp_path):
+    import pyarrow.parquet as pq
+    from medcat_ray.pipelines import kg
+    cdb, vocab = fixture_models
+    models = kg.broadcast_models(cdb, vocab)
+    ann = kg.annotate_pages(pages_dir, models, concurrency=2, batch_size=16)
+    out = str(tmp_path / "graph")
+    res = kg.materialize_graph(ann, cdb, out, mode="tree")
+    assert res["nodes"] == len(cdb.cui2names)
+    assert res["edges"] > 0
+    nodes = pq.read_table(os.path.join(out, "nodes", "nodes.parquet"))
+    assert set(nodes.column_names) == {"cui", "pretty_name", "type_ids",
+                                       "count_train"}
+    edges = pq.read_table(os.path.join(out, "edges"))
+    assert {"subj_cui", "pred", "obj_cui", "count"} <= set(edges.column_names)
