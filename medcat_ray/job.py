@@ -43,6 +43,8 @@ def main(argv=None) -> int:
                         help="optional language pushdown filter")
     parser.add_argument("--window", type=int, default=300)
     parser.add_argument("--skip-triple-counts", action="store_true")
+    parser.add_argument("--materialize-graph", action="store_true",
+                        help="also write nodes/ + edges/ graph tables")
     args = parser.parse_args(argv)
 
     import ray
@@ -99,6 +101,13 @@ def main(argv=None) -> int:
         summary["distinct_triples"] = sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in glob.glob(os.path.join(out_dir, "*.parquet")))
+
+    if args.materialize_graph:
+        ann = kg.annotate_pages(args.pages, models, config, lang=args.lang,
+                                concurrency=args.concurrency,
+                                batch_size=args.batch_size)
+        summary["graph"] = kg.materialize_graph(
+            ann, cdb, os.path.join(args.out, "graph"), window=args.window)
 
     with open(os.path.join(args.out, "job_summary.json"), "w") as fh:
         json.dump(summary, fh, sort_keys=True, indent=1)
