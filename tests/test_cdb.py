@@ -167,3 +167,33 @@ def test_cdb_maker_reference_goldens():
     # empty training state (test_ak/am)
     assert cdb.cui2context_vectors == {}
     assert cdb.cui2count_train == {}
+
+
+def test_vocab_reference_goldens(tmp_path):
+    """Reference Vocab test expectations
+    (/root/reference/tests/test_vocab.py:19-38) on the same TSV content
+    (/root/reference/examples/vocab_data.txt)."""
+    import numpy as np
+    from medcat_ray.state.vocab import Vocab
+    tsv = tmp_path / "vocab_data.txt"
+    tsv.write_text("house\t34444\t 0.3232 0.123213 1.231231\n"
+                   "dog\t14444\t0.76762 0.76767 1.45454\n")
+    v = Vocab.from_tsv(str(tsv))
+    assert sorted(v.word2cnt) == ["dog", "house"]
+    assert v.word2cnt["house"] == 34444          # test_count
+    assert "house" in v                          # membership
+    v.add_word("test", cnt=31, vec=[1.42, 1.44, 1.55])
+    assert "test" in v
+    np.testing.assert_allclose(v.vec("test"), [1.42, 1.44, 1.55], rtol=1e-6)
+    # save/load roundtrip keeps all words (test_save_and_load)
+    v.save(str(tmp_path / "v"))
+    v2 = Vocab.load(str(tmp_path / "v"))
+    assert sorted(v2.word2cnt) == ["dog", "house", "test"]
+    np.testing.assert_allclose(v2.vec("house"),
+                               [0.3232, 0.123213, 1.231231], rtol=1e-6)
+    # negative sampling draws only vector-bearing words, unigram^0.75
+    v2.make_unigram_table()
+    words = v2.get_negative_samples(200, rng=np.random.default_rng(32))
+    assert set(words) <= {"dog", "house", "test"}
+    # 'house' dominates (34444^0.75 share)
+    assert words.count("house") > words.count("dog") > words.count("test")
