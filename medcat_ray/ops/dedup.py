@@ -182,8 +182,11 @@ def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
                          "rep": pa.array(reps_out)})
 
     edges = buckets.map_batches(probe, batch_format="pyarrow")
-    labels = edges.groupby(id_col).aggregate(Min("rep", alias_name="rep"))
-    lbl_df = labels.to_pandas()
+    # The label table comes to the driver either way (path compression is
+    # driver-side); folding min-rep in pandas here removes a whole shuffle
+    # without changing the scale ceiling — edge volume ∝ duplicate rate.
+    edge_df = edges.to_pandas()
+    lbl_df = edge_df.groupby(id_col, as_index=False)["rep"].min()
     parent = dict(zip(lbl_df[id_col], lbl_df["rep"]))
 
     def find(x):
