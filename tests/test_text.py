@@ -97,3 +97,36 @@ def test_spell_checker_applied_in_normalizer():
 def test_edits1_counts():
     e = edits1("ab")
     assert "b" in e and "ba" in e and "aab" in e and "ab" not in {"x"}
+
+
+def test_edits1_set_matches_reference():
+    """edits1('abc') must contain exactly the 182 one-edit strings the
+    reference enumerates (/root/reference/tests/utils/test_normalizers.py:8-45
+    EXMAPLE_EDITS_ORDER — set semantics; ordering is explicitly not
+    guaranteed there)."""
+    from medcat_ray.functions.text import edits1
+    got = edits1("abc")
+    assert len(got) == 182
+    ref = {
+        'abqc', 'rbc', 'obc', 'fbc', 'abyc', 'azbc', 'ibc', 'xbc', 'apc',
+        'abcl', 'abcr', 'abck', 'anc', 'abd', 'abkc', 'iabc', 'tbc', 'cabc',
+        'abw', 'abp', 'abe', 'akbc', 'apbc', 'hbc', 'ubc', 'abic', 'babc',
+        'abcq', 'wabc', 'abtc', 'aibc', 'yabc', 'asc', 'abrc', 'avbc',
+        'abu', 'kabc', 'axc', 'fabc', 'nbc', 'rabc', 'abec', 'abcu', 'gbc',
+        'amc', 'abce', 'abdc', 'abcy', 'bbc', 'dbc', 'abac', 'abvc', 'abuc',
+        'avc', 'abi', 'abm', 'abjc', 'abcp', 'tabc', 'cbc', 'uabc', 'abz',
+        'aby', 'qbc', 'abcf', 'abpc', 'axbc', 'abk', 'gabc', 'abc', 'mbc',
+        'aqbc', 'abci', 'oabc', 'qabc', 'abf', 'vabc', 'abj', 'abbc',
+        'aubc', 'acbc', 'abn', 'aebc', 'ebc', 'abfc', 'dabc', 'abh', 'arc',
+        'aqc', 'albc', 'aac', 'abcb', 'sabc', 'ybc', 'abcv', 'absc', 'abca',
+        'labc', 'ajbc', 'kbc', 'pabc', 'abcc', 'afbc', 'sbc', 'abl', 'awc',
+        'ahbc', 'abco', 'anbc', 'abo', 'abg', 'abcn', 'awbc', 'adc', 'ahc',
+        'habc', 'abb', 'vbc', 'aboc', 'abq', 'acc', 'agc', 'abcx', 'nabc',
+        'abwc', 'lbc', 'abcm', 'afc', 'ab', 'atc', 'aybc', 'akc', 'abt',
+        'aic', 'jbc', 'aec', 'zabc', 'agbc', 'abv', 'abnc', 'abcj', 'pbc',
+        'abcg', 'bac', 'abr', 'aobc', 'abcd', 'alc', 'aoc', 'ajc', 'abx',
+        'arbc', 'ayc', 'aba', 'abcw', 'eabc', 'abcs', 'abhc', 'adbc',
+        'abgc', 'asbc', 'acb', 'abs', 'aabc', 'abzc', 'abxc', 'atbc',
+        'ambc', 'jabc', 'bc', 'wbc', 'abcz', 'ablc', 'ac', 'azc', 'abct',
+        'abmc', 'zbc', 'abch', 'auc', 'xabc', 'mabc'}
+    assert got == ref
