@@ -53,6 +53,9 @@ class DocAnnotator:
         self.stopwords = STOPWORDS if stopwords is None else stopwords
         self.spell_checker = SpellChecker(cdb.vocab, self.config) \
             if self.config.spell_check else None
+        # per-annotator norm cache: (lower, is_punct) -> norm; amortizes
+        # lemmatize/spell work across the documents one actor processes
+        self.norm_cache: dict = {}
         # Pre-normalize CUI vectors once: unitvec of each context vector
         # (reference recomputes unitvec per similarity call,
         # vector_context_model.py:131 — same value, done once here).
@@ -77,7 +80,7 @@ class DocAnnotator:
         postprocessing.py:47) and the token list, for parity tests."""
         text = text[: self.config.max_document_length]
         tokens = process_text(text, self.config, self.spell_checker,
-                              self.stopwords)
+                              self.stopwords, self.norm_cache)
         raw_ents = self._ner(tokens)
         linked = self._link(raw_ents, tokens)
         linked_sorted = sorted(linked, key=lambda e: len(text[e.start:e.end]),

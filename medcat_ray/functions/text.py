@@ -27,7 +27,7 @@ invoked per batch.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterable, List, Optional, Set
+from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 from medcat_ray.config import EngineConfig, PUNCT_CHECKER, word_skipper_pattern
 
@@ -281,11 +281,26 @@ class SpellChecker:
 # ---------------------------------------------------------------------------
 
 def normalize_tokens(tokens: List[Token], config: EngineConfig,
-                     spell_checker: Optional[SpellChecker] = None) -> List[Token]:
+                     spell_checker: Optional[SpellChecker] = None,
+                     cache: Optional[Dict[tuple, str]] = None
+                     ) -> List[Token]:
+    """M4 normalization.  ``cache`` (per-actor, keyed on
+    (lower, is_punct, raw length) — the only inputs the norm depends on) amortizes
+    lemmatize + spell-candidate generation across a corpus's repeated
+    words; the spell path in particular enumerates ~60·len(word) edit
+    strings per unknown word, which dominates without the cache."""
     min_len = config.min_len_normalize
     do_spell = config.spell_check and spell_checker is not None
     limit = config.spell_check_len_limit
     for token in tokens:
+        if cache is not None:
+            # len(text) is in the key because the spell gate tests the
+            # RAW length and Unicode lower() can change length
+            key = (token.lower, token.is_punct, len(token.text))
+            hit = cache.get(key)
+            if hit is not None:
+                token.norm = hit
+                continue
         if len(token.lower) < min_len:
             token.norm = token.lower
         else:
@@ -301,14 +316,20 @@ def normalize_tokens(tokens: List[Token], config: EngineConfig,
                         token.norm = fix.lower()
                     else:
                         token.norm = lemmatize(fix.lower())
+        if cache is not None:
+            if len(cache) > 1_000_000:   # bound per-actor heap
+                cache.clear()
+            cache[key] = token.norm
     return tokens
 
 
 def process_text(text: str, config: EngineConfig,
                  spell_checker: Optional[SpellChecker] = None,
-                 stopwords: Optional[Set[str]] = None) -> List[Token]:
+                 stopwords: Optional[Set[str]] = None,
+                 norm_cache: Optional[Dict[tuple, str]] = None
+                 ) -> List[Token]:
     """tokenize → tag → normalize, the full M2-M4 preprocessing chain."""
     tokens = tokenize(text, config.diacritics)
     tag_tokens(tokens, config, stopwords)
-    normalize_tokens(tokens, config, spell_checker)
+    normalize_tokens(tokens, config, spell_checker, norm_cache)
     return tokens
