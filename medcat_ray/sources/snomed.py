@@ -170,3 +170,61 @@ def relationship_map(relationship_path: str,
     for dst, src in zip(flt["obj_cui"], flt["subj_cui"]):
         out.setdefault(dst, []).append(src)
     return out
+
+
+def refset_mapping(refset_path: str,
+                   refset_id: Optional[str] = None) -> Dict[str, list]:
+    """SNOMED extended-map refset (ICD-10 / OPCS4 mappings) → per-concept
+    metadata dicts.
+
+    Reference ``Snomed._map_snomed2refset`` + ``_refset_df2dict``
+    (/root/reference/medcat/utils/preprocess_snomed.py:431-476 and 514-530):
+    active rows, sorted by (referencedComponentId, mapPriority, mapGroup),
+    folded to {cui: [{code, mapGroup, mapPriority, mapRule, mapAdvice}]}.
+    The reference sets BOTH 'mapGroup' and 'mapPriority' from the
+    mapPriority column (preprocess_snomed.py:526-527) — quirk reproduced.
+    ``refset_id`` filters to one refset (the reference splits UK editions
+    into ICD-10 vs OPCS4 this way, preprocess_snomed.py:468-473)."""
+    ds = _active(rd.read_csv(
+        refset_path,
+        parse_options=__import__("pyarrow.csv", fromlist=["ParseOptions"])
+        .ParseOptions(delimiter="\t"),
+        convert_options=__import__("pyarrow.csv", fromlist=["ConvertOptions"])
+        .ConvertOptions(column_types={
+            "id": pa.string(), "active": pa.string(),
+            "refsetId": pa.string(), "referencedComponentId": pa.string(),
+            "mapGroup": pa.string(), "mapPriority": pa.string(),
+            "mapRule": pa.string(), "mapAdvice": pa.string(),
+            "mapTarget": pa.string(), "effectiveTime": pa.string(),
+            "moduleId": pa.string(), "correlationId": pa.string(),
+            "mapCategoryId": pa.string()})))
+    if refset_id is not None:
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.equal(batch["refsetId"], refset_id))
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+    df = ds.to_pandas().sort_values(
+        ["referencedComponentId", "mapPriority", "mapGroup"])
+    out: Dict[str, list] = {}
+    for _, row in df.iterrows():
+        out.setdefault(row["referencedComponentId"], []).append({
+            "code": row["mapTarget"],
+            "mapGroup": row["mapPriority"],     # reference quirk (see above)
+            "mapPriority": row["mapPriority"],
+            "mapRule": row["mapRule"],
+            "mapAdvice": row["mapAdvice"],
+        })
+    return out
+
+
+def get_direct_refset_mapping(refset_dict: Dict[str, list]
+                              ) -> Dict[str, list]:
+    """{cui: [codes]} ordered highest mapPriority first (reference
+    ``get_direct_refset_mapping``, preprocess_snomed.py:14-33; KeyError on
+    missing 'code'/'mapPriority' keys — same contract as its tests)."""
+    out: Dict[str, list] = {}
+    for cui, entries in refset_dict.items():
+        ordered = sorted(entries, key=lambda e: e["mapPriority"],
+                         reverse=True)
+        out[cui] = [e["code"] for e in ordered]
+    return out

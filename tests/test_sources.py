@@ -167,3 +167,41 @@ def test_model_pack_roundtrip(tmp_path):
     cdb.add_concept_rows([{"cui": "X99", "name": "brand new concept"}])
     h3 = save_model_pack(str(pack), cdb, vocab, cfg)
     assert h3 != h1
+
+
+def test_refset_mapping_and_direct(ray_session, tmp_path):
+    from medcat_ray.sources.snomed import (get_direct_refset_mapping,
+                                           refset_mapping)
+    hdr = ("id\teffectiveTime\tactive\tmoduleId\trefsetId\t"
+           "referencedComponentId\tmapGroup\tmapPriority\tmapRule\t"
+           "mapAdvice\tmapTarget\tcorrelationId\tmapCategoryId")
+    rows = [hdr,
+            "m1\t2023\t1\tm\tRS1\tSCUI1\t1\t1\tTRUE\tadvice\tTCUI1\tc\tmc",
+            "m2\t2023\t1\tm\tRS1\tSCUI1\t1\t2\tTRUE\tadvice\tTCUI2\tc\tmc",
+            "m3\t2023\t1\tm\tRS1\tSCUI1\t1\t3\tTRUE\tadvice\tTCUI3\tc\tmc",
+            "m4\t2023\t0\tm\tRS1\tSCUI1\t1\t4\tTRUE\tadvice\tDEAD\tc\tmc",
+            "m5\t2023\t1\tm\tRS2\tSCUI2\t1\t1\tTRUE\tadvice\tOPCS1\tc\tmc"]
+    p = tmp_path / "refset.txt"
+    p.write_text("\n".join(rows) + "\n")
+    d = refset_mapping(str(p), refset_id="RS1")
+    assert list(d) == ["SCUI1"]
+    assert [e["code"] for e in d["SCUI1"]] == ["TCUI1", "TCUI2", "TCUI3"]
+    # reference quirk: mapGroup mirrors mapPriority
+    assert [e["mapGroup"] for e in d["SCUI1"]] == ["1", "2", "3"]
+    # direct mapping: highest priority first (reference
+    # tests/utils/test_preprocess_snomed.py:11-20 golden)
+    example = {"SCUI1": [{"code": "TCUI1", "mapPriority": "1"},
+                         {"code": "TCUI2", "mapPriority": "2"},
+                         {"code": "TCUI3", "mapPriority": "3"}]}
+    assert get_direct_refset_mapping(example) == {
+        "SCUI1": ["TCUI3", "TCUI2", "TCUI1"]}
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_direct_refset_mapping(
+            {"S": [{"code": "X"}]})          # no mapPriority
+    with _pytest.raises(KeyError):
+        get_direct_refset_mapping(
+            {"S": [{"mapPriority": "1"}]})   # no code
+    # unfiltered: both refsets present
+    d_all = refset_mapping(str(p))
+    assert set(d_all) == {"SCUI1", "SCUI2"}
