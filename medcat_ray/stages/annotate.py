@@ -106,3 +106,33 @@ class AnnotateStage:
         cols["ents"] = pa.array(ents_col, type=ENTS_LIST_TYPE)
         cols["error"] = pa.array(errors, type=pa.string())
         return pa.table(cols)
+
+
+class AnnotateCountStage(AnnotateStage):
+    """Fully-fused KG stage: extract_text → annotate → per-batch partial
+    triple counts, all inside one actor call.
+
+    Scale rationale: the intermediate entity stream (list<struct> per doc,
+    ~1.3 KB/doc) never enters the object store — the actor emits only one
+    row per distinct triple per batch.  On IPC-constrained hosts this
+    removes the single largest inter-stage transfer of the pipeline; the
+    cost is losing the reusable ``ents`` stream, so use this for
+    count-only jobs and the unfused stages when entities/triples are also
+    materialized.
+    """
+
+    def __init__(self, models, config=None, window: int = 300,
+                 pred: str = "co_occurs_with", text_column: str = "text",
+                 key_column: str = "url", do_extract: bool = True) -> None:
+        super().__init__(models, config, text_column, key_column)
+        self.window = window
+        self.pred = pred
+        self.do_extract = do_extract
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from medcat_ray.stages.triples import partial_triple_counts
+        if self.do_extract and "html" in batch.column_names:
+            batch = extract_text_batch(batch)
+        ann = super().__call__(batch)
+        return partial_triple_counts(ann, self.window, self.pred,
+                                     self.key_column)

@@ -224,3 +224,28 @@ def test_materialize_graph(ray_session, fixture_models, pages_dir, tmp_path):
                                        "count_train"}
     edges = pq.read_table(os.path.join(out, "edges"))
     assert {"subj_cui", "pred", "obj_cui", "count"} <= set(edges.column_names)
+
+
+def test_fused_count_stage_matches_unfused(ray_session, fixture_models,
+                                           pages_dir):
+    import pandas as pd
+    from medcat_ray.pipelines import kg
+    from medcat_ray.stages.annotate import AnnotateCountStage
+    from medcat_ray.stages.triples import combine_partial_counts
+    import ray.data as rd
+    cdb, vocab = fixture_models
+    models = kg.broadcast_models(cdb, vocab)
+    base = kg.triple_counts(
+        kg.annotate_pages(pages_dir, models, concurrency=2, batch_size=16),
+        mode="tree").to_pandas().sort_values(
+            ["subj_cui", "pred", "obj_cui"]).reset_index(drop=True)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html", "lang"])
+    fused = pages.map_batches(
+        AnnotateCountStage, fn_constructor_kwargs=dict(models=models),
+        batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1) \
+        .repartition(1).map_batches(combine_partial_counts,
+                                    batch_format="pyarrow") \
+        .rename_columns({"n": "count"}).to_pandas().sort_values(
+            ["subj_cui", "pred", "obj_cui"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, fused[base.columns.tolist()],
+                                  check_dtype=False)
