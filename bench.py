@@ -297,7 +297,14 @@ def run_scaling() -> dict:
     pool_lo, pool_hi = max(2, int(lo * 0.75)), max(2, int(hi * 0.75))
     hw_lo, hw_hi = cpu_capacity(pool_lo), cpu_capacity(pool_hi)
     hw_ratio = hw_hi / hw_lo          # cycles actually granted, 4× workers
-    t_lo, t_hi = leg(lo), leg(hi)
+    # Alternate legs and take each leg's min: the VM swings between fast
+    # and slow phases on a minutes timescale, so a single lo/hi pair
+    # confounds phase with cluster size.
+    lo_times, hi_times = [], []
+    for _ in range(2):
+        lo_times.append(leg(lo))
+        hi_times.append(leg(hi))
+    t_lo, t_hi = min(lo_times), min(hi_times)
     import pyarrow.parquet as pq
     import glob as _glob
     n_docs = sum(pq.ParquetFile(f).metadata.num_rows
