@@ -11,9 +11,10 @@ Prints ONE JSON line:
   {"metric": "kg_pipeline_sec", "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": <dir>, "num_cpus": N, ...}
 
-``--scaling`` runs the headline twice in fresh processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs and
-the scaling efficiency (BASELINE.md criterion; two-cluster-size proxy).
+``--scaling`` (two-cluster-size proxy, BASELINE.md criterion) runs the
+fused count pipeline over realistic-size pages at num_cpus=8 and =32 in
+fresh alternated processes and reports both throughputs, the raw scaling
+efficiency and the hardware-normalized efficiency.
 """
 
 import json
