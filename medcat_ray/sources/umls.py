@@ -27,6 +27,9 @@ MRCONSO_COLUMNS = [
 ]
 # MRSTY.RRF columns (preprocess_umls.py:28-35).
 MRSTY_COLUMNS = ["CUI", "TUI", "STN", "STY", "ATUI", "CVF"]
+# MRHIER.RRF columns (preprocess_umls.py:37-46).
+MRHIER_COLUMNS = ["CUI", "AUI", "CXN", "PAUI", "SAB", "RELA", "PTR", "HCD",
+                  "CVF"]
 
 
 def _read_rrf(path: str, columns: List[str],
@@ -134,3 +137,52 @@ def umls2snomed(mrconso_path: str, sep: str = "|") -> rd.Dataset:
 def umls2icd10(mrconso_path: str, sep: str = "|") -> rd.Dataset:
     """Reference ``map_umls2icd10`` (preprocess_umls.py:142-168)."""
     return umls2source(mrconso_path, "ICD10", sep)
+
+
+def mrhier_pt2ch(mrconso_path: str, mrhier_path: str,
+                 allow_languages: Optional[Sequence[str]] = ("ENG",),
+                 sep: str = "|") -> Dict[str, List[str]]:
+    """Parent CUI → child CUIs from MRHIER isa rows (reference
+    ``UMLS.get_pt2ch``, preprocess_umls.py:191-260): AUI→CUI map from
+    MRCONSO (language-filtered), hierarchy restricted to preferred atoms
+    (ISPREF=Y) with RELA='isa', self-parents dropped.
+
+    Streams both RRF files; the AUI→CUI map and the fold are driver-side
+    (model-sized: atoms of the ontology, not a corpus)."""
+    langs = list(allow_languages) if allow_languages else None
+
+    conso = _read_rrf(mrconso_path, MRCONSO_COLUMNS, sep)
+
+    def project_conso(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if langs:
+            batch = batch.filter(pc.is_in(batch["LAT"], pa.array(langs)))
+        return pa.table({"AUI": batch["AUI"], "CUI": batch["CUI"],
+                         "ISPREF": batch["ISPREF"]})
+
+    conso_df = conso.map_batches(project_conso,
+                                 batch_format="pyarrow").to_pandas()
+    aui_cui = dict(zip(conso_df["AUI"], conso_df["CUI"]))
+    pref = conso_df[conso_df["ISPREF"] == "Y"]
+    pref_pairs = set(zip(pref["AUI"], pref["CUI"]))
+
+    hier = _read_rrf(mrhier_path, MRHIER_COLUMNS, sep)
+
+    def project_hier(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.equal(batch["RELA"], "isa"))
+        return pa.table({"CUI": batch["CUI"], "AUI": batch["AUI"],
+                         "PAUI": batch["PAUI"]})
+
+    hier_df = hier.map_batches(project_hier,
+                               batch_format="pyarrow").to_pandas()
+    pt2ch: Dict[str, set] = {}
+    for cui, aui, paui in zip(hier_df["CUI"], hier_df["AUI"],
+                              hier_df["PAUI"]):
+        if paui is None or (aui, cui) not in pref_pairs:
+            continue
+        parent_cui = aui_cui.get(paui)
+        if parent_cui is None or parent_cui == cui:
+            continue
+        pt2ch.setdefault(parent_cui, set()).add(cui)
+    return {k: sorted(v) for k, v in pt2ch.items()}

@@ -205,3 +205,32 @@ def test_refset_mapping_and_direct(ray_session, tmp_path):
     # unfiltered: both refsets present
     d_all = refset_mapping(str(p))
     assert set(d_all) == {"SCUI1", "SCUI2"}
+
+
+def test_mrhier_pt2ch(ray_session, tmp_path):
+    """Reference get_pt2ch semantics (preprocess_umls.py:191-260): isa rows
+    of preferred atoms, parents resolved via AUI→CUI, self-loops dropped."""
+    from medcat_ray.sources.umls import mrhier_pt2ch
+    def conso(cui, lat, ispref, aui):
+        f = [""] * 18
+        f[0], f[1], f[6], f[7] = cui, lat, ispref, aui
+        return "|".join(f) + "|"
+    (tmp_path / "MRCONSO.RRF").write_text("\n".join([
+        conso("C1", "ENG", "Y", "A1"),
+        conso("C2", "ENG", "Y", "A2"),
+        conso("C3", "ENG", "Y", "A3"),
+        conso("C3", "ENG", "N", "A3b"),      # non-preferred atom
+        conso("C4", "FRE", "Y", "A4"),       # language-filtered
+    ]) + "\n")
+    def hier(cui, aui, paui, rela):
+        return f"{cui}|{aui}|1|{paui}|SRC|{rela}|ptr|hcd||"
+    (tmp_path / "MRHIER.RRF").write_text("\n".join([
+        hier("C2", "A2", "A1", "isa"),       # C1 -> C2
+        hier("C3", "A3", "A1", "isa"),       # C1 -> C3
+        hier("C3", "A3b", "A2", "isa"),      # dropped: non-preferred atom
+        hier("C2", "A2", "A2", "isa"),       # self-parent dropped
+        hier("C3", "A3", "A2", "part_of"),   # wrong RELA
+    ]) + "\n")
+    pt2ch = mrhier_pt2ch(str(tmp_path / "MRCONSO.RRF"),
+                         str(tmp_path / "MRHIER.RRF"))
+    assert pt2ch == {"C1": ["C2", "C3"]}
