@@ -76,6 +76,41 @@ def entities(annotated: rd.Dataset, key_column: str = "url") -> rd.Dataset:
         lambda b: explode_entities(b, key_column), batch_format="pyarrow")
 
 
+def enrich_entities(ents: rd.Dataset, cdb: CDB,
+                    keys: Sequence[str] = ("cui2icd10", "cui2opcs4",
+                                           "cui2ontologies")) -> rd.Dataset:
+    """J2/M13 addl-info enrichment: append one column per requested
+    ``addl_info`` map (reference output projection joins,
+    /root/reference/medcat/cat.py:1761-1773) — broadcast map-side join,
+    never a shuffle.  Values are JSON-encoded when non-scalar (open-schema
+    maps → stable string columns)."""
+    import json as _json
+    maps = {k: dict(cdb.addl_info.get(k, {})) for k in keys}
+    ref = ray.put(maps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        cuis = batch["cui"].to_pylist()
+        for key in keys:
+            col = []
+            lookup = m[key]
+            for cui in cuis:
+                val = lookup.get(cui)
+                if val is None:
+                    col.append(None)
+                elif isinstance(val, str):
+                    col.append(val)
+                else:
+                    col.append(_json.dumps(sorted(val)
+                                           if isinstance(val, (set, frozenset))
+                                           else val, sort_keys=True))
+            batch = batch.append_column(
+                key.replace("cui2", ""), pa.array(col, pa.string()))
+        return batch
+
+    return ents.map_batches(project, batch_format="pyarrow")
+
+
 def triples(annotated: rd.Dataset, window: int = 300,
             pred: str = "co_occurs_with",
             key_column: str = "url",

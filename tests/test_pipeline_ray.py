@@ -249,3 +249,21 @@ def test_fused_count_stage_matches_unfused(ray_session, fixture_models,
             ["subj_cui", "pred", "obj_cui"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(base, fused[base.columns.tolist()],
                                   check_dtype=False)
+
+
+def test_enrich_entities_addl_info(ray_session, fixture_models, pages_dir):
+    from medcat_ray.pipelines import kg
+    cdb, vocab = fixture_models
+    some_cui = sorted(cdb.cui2names)[0]
+    cdb.addl_info["cui2icd10"][some_cui] = "N18.9"
+    cdb.addl_info["cui2ontologies"][some_cui] = {"SNOMED", "MSH"}
+    models = kg.broadcast_models(cdb, vocab)
+    ann = kg.annotate_pages(pages_dir, models, concurrency=2, batch_size=16)
+    out = kg.enrich_entities(kg.entities(ann), cdb).to_pandas()
+    assert {"icd10", "opcs4", "ontologies"} <= set(out.columns)
+    hit = out[out["cui"] == some_cui]
+    if len(hit):
+        assert (hit["icd10"] == "N18.9").all()
+        assert (hit["ontologies"] == '["MSH", "SNOMED"]').all()
+    other = out[out["cui"] != some_cui]
+    assert other["icd10"].isna().all()
