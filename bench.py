@@ -302,7 +302,7 @@ def run_scaling() -> dict:
     # and slow phases on a minutes timescale, so a single lo/hi pair
     # confounds phase with cluster size.
     lo_times, hi_times = [], []
-    for _ in range(2):
+    for _ in range(3):
         lo_times.append(leg(lo))
         hi_times.append(leg(hi))
     t_lo, t_hi = min(lo_times), min(hi_times)
@@ -322,12 +322,47 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(raw_eff, 3),
         "hw_cycle_ratio_4x_workers": round(hw_ratio, 3),
         "scaling_efficiency_hw_normalized": round(norm_eff, 3),
+        "leg_samples_low": [round(t, 2) for t in lo_times],
+        "leg_samples_high": [round(t, 2) for t in hi_times],
+        "sf": SF_DIR,
+    }
+
+
+def run_scaling_weak() -> dict:
+    """Weak-scaling evidence: input grows with the worker count (10k docs
+    at 8 CPUs vs 40k at 32), so PERFECT scaling holds wall time constant —
+    efficiency = t_low/t_high (can exceed raw strong-scaling efficiency
+    because per-leg fixed costs stay proportional)."""
+    pages_lo = build_bench_pages(SF_DIR, rep=2, text_rep=16)
+    pages_hi = build_bench_pages(SF_DIR, rep=8, text_rep=16)
+
+    def leg(ncpu: int, pages: str) -> float:
+        env = dict(os.environ, NC=str(ncpu), PAGES=pages, PYTHONPATH=REPO)
+        out = subprocess.run([sys.executable, "-c", _SCALING_LEG], env=env,
+                             cwd=REPO, capture_output=True, text=True,
+                             check=True).stdout
+        return float([l for l in out.splitlines()
+                      if l.startswith("TIMED")][0].split()[1])
+
+    lo_times, hi_times = [], []
+    for _ in range(2):
+        lo_times.append(leg(8, pages_lo))
+        hi_times.append(leg(32, pages_hi))
+    t_lo, t_hi = min(lo_times), min(hi_times)
+    return {
+        "metric": "weak_scaling_efficiency",
+        "cpus_low": 8, "cpus_high": 32,
+        "docs_low": 10000, "docs_high": 40000,
+        "sec_low": round(t_lo, 3), "sec_high": round(t_hi, 3),
+        "weak_scaling_efficiency": round(t_lo / t_hi, 3),
         "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        print(json.dumps(run_scaling_weak()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
