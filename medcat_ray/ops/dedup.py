@@ -122,15 +122,6 @@ def minhash_buckets(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         batch_format="pyarrow", concurrency=concurrency)
 
 
-def _bucket_edges(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Within one (band, band_hash) bucket: star edges id→min_id."""
-    ids = group[id_col].to_numpy()
-    if len(ids) < 2:
-        return pd.DataFrame({id_col: [], "rep": []})
-    rep = ids.min()
-    return pd.DataFrame({id_col: ids, "rep": rep})
-
-
 def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
                            id_col: str = "doc_id", text_col: str = "text",
