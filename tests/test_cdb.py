@@ -197,3 +197,15 @@ def test_vocab_reference_goldens(tmp_path):
     assert set(words) <= {"dog", "house", "test"}
     # 'house' dominates (34444^0.75 share)
     assert words.count("house") > words.count("dog") > words.count("test")
+
+
+def test_engine_config_roundtrip():
+    from medcat_ray.config import DEFAULT_CONFIG, EngineConfig
+    cfg = EngineConfig(min_name_len=4, cuis_allow=frozenset({"C1"}),
+                      name_versions=("LOWER",))
+    d = cfg.to_dict()
+    import json
+    json.dumps(d)                       # JSON-able
+    back = EngineConfig.from_dict(d)
+    assert back == cfg
+    assert EngineConfig.from_dict(DEFAULT_CONFIG.to_dict()) == DEFAULT_CONFIG
