@@ -4,17 +4,24 @@ All operate on a ``ray.data.Dataset`` with an id column and a text column
 and are built from map_batches (vectorized, deterministic hashing) plus the
 minimum number of groupby shuffles:
 
-* exact          — content-hash → groupby(hash) → keep min-id row
+* exact          — content-hash → native groupby-Min/Count → broadcast
+                   probe of duplicated hashes only
 * MinHash + LSH  — shingle → minhash → band → groupby(band bucket) →
-                   candidate pairs → min-label propagation to clusters
-* SimHash        — 64-bit signature, exact-band match on 4×16-bit chunks
+                   star edges → union-find (driver fast path) or
+                   distributed min-label propagation (scale path)
+* SimHash        — 64-bit signature, Manku 3-of-6-block bucket tables
+                   (exact for Hamming ≤ 3, bounded bucket sizes)
 * n-gram Jaccard — verification of candidate pairs
-* embedding      — cosine near-dup via random-hyperplane LSH buckets
+* embedding      — cosine near-dup via multi-table hyperplane LSH with
+                   recursive oversize-bucket splitting
 
 Scale notes (10^12 rows): every shuffle here is keyed by a uniform hash
-(content hash / band hash / hyperplane bucket), so no skew hotspots;
-pair verification happens within buckets only; clustering uses K rounds of
-min-label propagation (groupby per round) instead of a driver union-find.
+(content hash / band hash / hyperplane bucket), so no skew hotspots; all
+singleton buckets are pruned by NATIVE aggregates before any per-group
+Python runs, so pair verification touches only colliding buckets (volume
+∝ duplicate rate, not corpus size); cluster resolution offers both a
+driver union-find (small corpora) and join+groupby min-label propagation
+(nothing driver-side) — identical outputs, unit-tested.
 """
 
 from __future__ import annotations
@@ -50,15 +57,35 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> rd.Dataset:
     """Keep one representative row (min id) per distinct text.
 
-    hash-partitioned groupby on the content hash + per-group first — the
-    canonical two-stage exact dedup (SURVEY.md §2.7 D5 analogue)."""
+    Shape (SURVEY.md §2.7 D5 analogue): one NATIVE hash-partitioned
+    ``groupby(content_hash).aggregate(Min, Count)`` — no per-group Python
+    call — then only the DUPLICATED hashes (volume ∝ duplicate rate, not
+    corpus size) are broadcast and probed per batch: a row survives iff its
+    hash is unique or it is the group's min-id representative."""
+    import ray
+
     hashed = add_content_hash(ds, text_col)
+    agg = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n"))
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def non_singleton(batch: pa.Table) -> pa.Table:
+        return batch.select(["content_hash", "keep_id"]).filter(
+            pc.greater(batch["n"], 1))
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_min, batch_format="pandas").drop_columns(["content_hash"])
+    dup = agg.map_batches(non_singleton, batch_format="pyarrow").to_pandas()
+    keep_map = {} if dup.empty else dict(zip(dup["content_hash"],
+                                             dup["keep_id"]))
+    keep_ref = ray.put(keep_map)
+
+    def drop_non_reps(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ids = batch[id_col].to_pylist()
+        hashes = batch["content_hash"].to_pylist()
+        mask = pa.array([keep.get(h, i) == i for i, h in zip(ids, hashes)])
+        return batch.filter(mask)
+
+    return hashed.map_batches(drop_non_reps, batch_format="pyarrow") \
+        .drop_columns(["content_hash"])
 
 
 def exact_dup_stats(ds: rd.Dataset, id_col: str = "doc_id",
@@ -122,31 +149,100 @@ def minhash_buckets(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         batch_format="pyarrow", concurrency=concurrency)
 
 
-def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
-                           bands: int = 16, shingle_k: int = 5,
-                           id_col: str = "doc_id", text_col: str = "text",
-                           concurrency: int = 4) -> rd.Dataset:
-    """Near-dup clusters: (doc_id, rep) with rep = min doc id of the
-    connected component induced by shared LSH buckets.
+def _unionfind_labels(edge_df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Exact connected components of the (id, rep) star-edge list via
+    union-find (union by min root + path compression).  Driver-side: edge
+    volume ∝ duplicate rate, the documented small-corpus fast path."""
+    parent: Dict = {}
 
-    Shingling, minhashing, band bucketing and star-edge generation are all
-    distributed (map_batches + one groupby on the uniform band hash).  Only
-    the resulting label table — docs that share at least one bucket with
-    another doc, typically a few % of the corpus — comes to the driver,
-    where path compression resolves chained components exactly.  At a
-    candidate volume where that table no longer fits, swap the compression
-    step for iterated min-label-propagation groupby rounds (same edge
-    input; standard trade-off documented in the Ray guide).
-    """
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edge_df[id_col], edge_df["rep"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id becomes the root
+    nodes = sorted(set(edge_df[id_col]) | set(edge_df["rep"]))
+    return pd.DataFrame({id_col: nodes, "rep": [find(n) for n in nodes]})
+
+
+def _propagate_labels(edges: rd.Dataset, id_col: str,
+                      max_rounds: int = 64,
+                      num_partitions: int = 16) -> rd.Dataset:
+    """Distributed connected components over (id, rep) star edges by
+    min-label propagation: no edge or label table ever leaves the object
+    store.  Each round is one hash join (labels onto edge endpoints) plus
+    one groupby-min; converged when the monotone label sum stops falling.
+    Rounds ∝ component diameter — LSH dup components are star-like, so a
+    handful in practice (``max_rounds`` is a safety cap, asserted)."""
+    from ray.data.aggregate import Sum
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        reps = batch["rep"].combine_chunks()
+        return pa.table({"src": pa.concat_arrays([ids, reps]),
+                         "dst": pa.concat_arrays([reps, ids])})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow") \
+        .materialize()
+
+    def as_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["dst"]})
+
+    labels = sym.map_batches(as_labels, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label")) \
+        .repartition(num_partitions).materialize()
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    for _ in range(max_rounds):
+        # candidate label for each edge's src = its dst neighbor's label
+        cand = sym.join(labels, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("dst",), right_on=("node",)) \
+            .map_batches(lambda b: pa.table({"node": b["src"],
+                                             "label": b["label"]}),
+                         batch_format="pyarrow")
+        # repartition rebuilds blocks: the groupby aggregator emits
+        # schema-less empty blocks for empty partitions, which crash the
+        # NEXT round's join finalize (Ray 2.49 — pa.Table.join can't
+        # resolve the key on a zero-column right table)
+        labels = labels.union(cand).groupby("node").aggregate(
+            Min("label", alias_name="label")) \
+            .repartition(num_partitions).materialize()
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["node"], "rep": batch["label"]})
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def minhash_star_edges(ds: rd.Dataset, num_perm: int = 64,
+                       bands: int = 16, shingle_k: int = 5,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       concurrency: int = 4) -> rd.Dataset:
+    """(id, rep) star edges: rep = min doc id of each shared LSH bucket.
+
+    Star edges WITHOUT a per-group Python call (map_groups pays ~100µs
+    of pandas overhead per bucket — 70k tiny buckets made it the whole
+    wall time): one NATIVE groupby computes each bucket's (min id, size);
+    only NON-singleton buckets — volume ∝ duplicate rate, not corpus
+    size — are broadcast and probed per batch to emit (id, rep) edges."""
     import ray
 
     buckets = minhash_buckets(ds, num_perm, bands, shingle_k, id_col,
                               text_col, concurrency)
-    # Star edges WITHOUT a per-group Python call (map_groups pays ~100µs
-    # of pandas overhead per bucket — 70k tiny buckets made it the whole
-    # wall time): one NATIVE groupby computes each bucket's (min id, size);
-    # only NON-singleton buckets — volume ∝ duplicate rate, not corpus
-    # size — are broadcast and probed per batch to emit (id, rep) edges.
     bucket_rep = buckets.groupby(["band", "band_hash"]).aggregate(
         Min(id_col, alias_name="rep"), Count(alias_name="n"))
 
@@ -169,27 +265,39 @@ def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
             if rep is not None:
                 ids_out.append(doc_id)
                 reps_out.append(rep)
-        return pa.table({id_col: pa.array(ids_out),
-                         "rep": pa.array(reps_out)})
+        id_type = batch[id_col].type  # keep typed even when empty
+        return pa.table({id_col: pa.array(ids_out, type=id_type),
+                         "rep": pa.array(reps_out, type=id_type)})
 
-    edges = buckets.map_batches(probe, batch_format="pyarrow")
-    # The label table comes to the driver either way (path compression is
-    # driver-side); folding min-rep in pandas here removes a whole shuffle
-    # without changing the scale ceiling — edge volume ∝ duplicate rate.
-    edge_df = edges.to_pandas()
-    lbl_df = edge_df.groupby(id_col, as_index=False)["rep"].min()
-    parent = dict(zip(lbl_df[id_col], lbl_df["rep"]))
+    return buckets.map_batches(probe, batch_format="pyarrow")
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
 
-    lbl_df["rep"] = [find(i) for i in lbl_df[id_col]]
-    return rd.from_pandas(lbl_df)
+def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           concurrency: int = 4,
+                           method: str = "driver") -> rd.Dataset:
+    """Near-dup clusters: (doc_id, rep) with rep = min doc id of the
+    connected component induced by shared LSH buckets.
+
+    Shingling, minhashing, band bucketing and star-edge generation are all
+    distributed (map_batches + one groupby on the uniform band hash).
+    Component resolution over the star edges has two paths:
+
+    * ``method="driver"`` (default): the edge list — docs sharing at least
+      one bucket, volume ∝ duplicate rate — comes to the driver for an
+      exact union-find.  The small/medium-corpus fast path.
+    * ``method="distributed"``: iterated min-label propagation (join +
+      groupby-min per round) entirely inside the object store — the
+      10^12-doc path where the edge table no longer fits on the driver.
+
+    Both produce identical (id, rep) labels (unit-tested, including
+    chained components A~C, B~C with A !~ B)."""
+    edges = minhash_star_edges(ds, num_perm, bands, shingle_k, id_col,
+                               text_col, concurrency)
+    if method == "distributed":
+        return _propagate_labels(edges, id_col)
+    return rd.from_pandas(_unionfind_labels(edges.to_pandas(), id_col))
 
 
 def minhash_dedup(ds: rd.Dataset, **kw) -> rd.Dataset:
@@ -229,44 +337,93 @@ def add_simhash(ds: rd.Dataset, text_col: str = "text",
     return ds.map_batches(_sim, batch_format="pyarrow")
 
 
+# Manku-style block scheme for Hamming distance ≤ 3 on 64 bits: 6 blocks
+# (widths 11,11,11,11,10,10); if ham ≤ 3 at most 3 blocks differ, so some
+# 3-of-6 block combination matches exactly → C(6,3)=20 bucket tables over a
+# ≥2^32 keyspace (bucket size stays bounded as the corpus grows, unlike a
+# 16-bit chunk key whose buckets grow linearly).  Cf. Manku, Jain & Sarma,
+# "Detecting Near-Duplicates for Web Crawling", WWW 2007.
+_SIM_WIDTHS = (11, 11, 11, 11, 10, 10)
+_SIM_OFFS = tuple(int(np.cumsum((0,) + _SIM_WIDTHS)[i]) for i in range(6))
+_SIM_COMBOS = tuple((i, j, k) for i in range(6) for j in range(i + 1, 6)
+                    for k in range(j + 1, 6))  # 20 combos
+_SIM_HAM_MAX = 3
+
+
+def _simhash_block(h: np.ndarray, b: int) -> np.ndarray:
+    mask = np.uint64((1 << _SIM_WIDTHS[b]) - 1)
+    return (h >> np.uint64(_SIM_OFFS[b])) & mask
+
+
 def simhash_candidates(ds: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text") -> rd.Dataset:
-    """Near-dup candidate pairs: docs sharing any 16-bit chunk of their
-    SimHash (catches Hamming distance ≤ 3 per the 4-chunk pigeonhole)."""
+    """Near-dup candidate pairs: all doc pairs at SimHash Hamming
+    distance ≤ 3 (exact by the 3-of-6-block pigeonhole; see scheme above).
+
+    Shape: vectorized explode to 20 (bucket, id, simhash) rows per doc →
+    one NATIVE groupby-count prunes singleton buckets (collision volume ∝
+    near-dup rate, not corpus size) → vectorized XOR+popcount pair check
+    inside the surviving buckets only → distinct over pair keys."""
+    import ray
+    from medcat_ray.ops.hashing import popcount64
+
     sims = add_simhash(ds, text_col)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, chunks, keys = [], [], []
-        for i, h in zip(batch[id_col].to_pylist(),
-                        batch["simhash"].to_pylist()):
-            for c in range(4):
-                ids.append(i)
-                chunks.append(c)
-                keys.append((h >> (16 * c)) & 0xFFFF)
-        return pa.table({id_col: pa.array(ids),
-                         "chunk": pa.array(chunks, type=pa.int32()),
-                         "chunk_key": pa.array(keys, type=pa.int32()),
-                         "simhash": pa.array(
-                             np.repeat(batch["simhash"].to_numpy(
-                                 zero_copy_only=False), 4),
-                             type=pa.uint64())})
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        blocks = [_simhash_block(h, b) for b in range(6)]
+        n = len(h)
+        keys = np.empty((len(_SIM_COMBOS), n), dtype=np.uint64)
+        for ci, (i, j, k) in enumerate(_SIM_COMBOS):
+            # 3 concatenated block values (≤33 bits) + combo id in the top
+            key = blocks[i] \
+                | (blocks[j] << np.uint64(_SIM_WIDTHS[i])) \
+                | (blocks[k] << np.uint64(_SIM_WIDTHS[i] + _SIM_WIDTHS[j]))
+            keys[ci] = key | (np.uint64(ci) << np.uint64(36))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.tile(ids, len(_SIM_COMBOS))),
+            "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
+            "simhash": pa.array(np.tile(h, len(_SIM_COMBOS)),
+                                type=pa.uint64()),
+        })
+
+    exploded = sims.map_batches(explode, batch_format="pyarrow")
+    counts = exploded.groupby("bucket").aggregate(Count(alias_name="n"))
+
+    def non_singleton(batch: pa.Table) -> pa.Table:
+        return batch.select(["bucket"]).filter(pc.greater(batch["n"], 1))
+
+    hot = counts.map_batches(non_singleton, batch_format="pyarrow") \
+        .to_pandas()
+    hot_arr = np.array([], dtype=np.uint64) if hot.empty \
+        else np.sort(hot["bucket"].to_numpy().astype(np.uint64))
+    hot_ref = ray.put(hot_arr)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_sorted = ray.get(hot_ref)
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(hot_sorted) == 0:
+            mask = np.zeros(len(b), dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(hot_sorted, b),
+                             len(hot_sorted) - 1)
+            mask = hot_sorted[idx] == b
+        return batch.filter(pa.array(mask))
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values(id_col).to_dict("records")
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                a, b = rows[i], rows[j]
-                ham = bin(int(a["simhash"]) ^ int(b["simhash"])).count("1")
-                if ham <= 3 and a[id_col] != b[id_col]:
-                    out.append({"id_a": a[id_col], "id_b": b[id_col],
-                                "hamming": ham})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ham = popcount64(h[iu] ^ h[ju])
+        keep = (ham <= _SIM_HAM_MAX) & (ids[iu] != ids[ju])
+        return pd.DataFrame({"id_a": ids[iu][keep], "id_b": ids[ju][keep],
+                             "hamming": ham[keep]})
 
-    pairs = sims.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["chunk", "chunk_key"]).map_groups(bucket_pairs,
-                                                    batch_format="pandas")
-    # a pair can match in several chunks → distinct
+    pairs = exploded.map_batches(keep_hot, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # a pair can match in several block combos → distinct
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -325,49 +482,114 @@ def verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
 
 
 def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
-                        n_planes: int = 12, id_col: str = "vec_id",
+                        n_planes: int = 16, n_tables: int = 4,
+                        max_bucket: int = 512, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         seed: int = 3) -> rd.Dataset:
-    """Cosine near-duplicate pairs via random-hyperplane LSH bucketing.
+    """Cosine near-duplicate pairs via multi-table random-hyperplane LSH.
 
-    Docs whose sign-pattern over ``n_planes`` random hyperplanes matches
-    land in one bucket; exact cosine is computed within buckets only.
-    Misses pairs split by a plane (standard LSH recall trade-off; raise
-    recall by repeating with different seeds and unioning)."""
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each;
+    per-table recall for a pair at angle θ is (1-θ/π)^n_planes, unioning
+    tables raises it to 1-(1-p)^n_tables (pairs with *identical* sign
+    patterns — e.g. scaled copies — are found with recall 1).  Bucket
+    sizes are bounded two ways: the 2^n_planes keyspace per table, and a
+    deterministic recursive sub-split with extra hyperplanes for any
+    bucket larger than ``max_bucket`` (the whole-bucket dense matmul never
+    exceeds max_bucket²).  Singleton buckets are pruned by a NATIVE
+    groupby-count before any per-group Python runs, so the pair stage
+    touches only colliding buckets (volume ∝ near-dup rate)."""
+    import ray
+    from ray.data.aggregate import Max
+
     first = ds.take(1)
     if not first:
         return rd.from_items([])
     dim = len(first[0][vec_col])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(dim, n_planes))
+    planes = rng.normal(size=(n_tables, dim, n_planes))
+    _split_depth = 8
+    split_planes = rng.normal(size=(_split_depth, dim, 4))
+    shifts = np.arange(n_planes, dtype=np.uint64)[None, :]
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        signs = (vecs @ planes) > 0
-        keys = (signs.astype(np.uint64) <<
-                np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
-        return pa.table({id_col: batch[id_col],
-                         "bucket": pa.array(keys, type=pa.uint64()),
-                         vec_col: batch[vec_col]})
+        n = len(vecs)
+        keys = np.empty((n_tables, n), dtype=np.uint64)
+        for t in range(n_tables):
+            signs = (vecs @ planes[t]) > 0
+            keys[t] = (signs.astype(np.uint64) << shifts).sum(axis=1) \
+                | (np.uint64(t) << np.uint64(n_planes))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.tile(ids, n_tables)),
+            "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
+            vec_col: pa.concat_arrays(
+                [batch[vec_col].combine_chunks()] * n_tables),
+        })
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    counts = bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
+
+    def non_singleton(batch: pa.Table) -> pa.Table:
+        return batch.select(["bucket"]).filter(pc.greater(batch["n"], 1))
+
+    hot = counts.map_batches(non_singleton,
+                             batch_format="pyarrow").to_pandas()
+    hot_arr = np.array([], dtype=np.uint64) if hot.empty \
+        else np.sort(hot["bucket"].to_numpy().astype(np.uint64))
+    hot_ref = ray.put(hot_arr)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_sorted = ray.get(hot_ref)
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(hot_sorted) == 0:
+            mask = np.zeros(len(b), dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(hot_sorted, b),
+                             len(hot_sorted) - 1)
+            mask = hot_sorted[idx] == b
+        return batch.filter(pa.array(mask))
 
     def bucket_cosine_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         V = np.array(g[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         U = V / norms[:, None]
-        S = U @ U.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= threshold:
-                    out.append({"id_a": ids[i], "id_b": ids[j],
-                                "cosine": round(float(S[i, j]), 6)})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+        out_a, out_b, out_c = [], [], []
 
-    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        def emit(sel: np.ndarray) -> None:
+            S = U[sel] @ U[sel].T
+            iu, ju = np.triu_indices(len(sel), k=1)
+            keep = (S[iu, ju] >= threshold) & (ids[sel][iu] != ids[sel][ju])
+            out_a.extend(ids[sel][iu][keep])
+            out_b.extend(ids[sel][ju][keep])
+            out_c.extend(np.round(S[iu, ju][keep], 6))
+
+        def sub(sel: np.ndarray, depth: int) -> None:
+            if len(sel) <= max_bucket or depth >= _split_depth:
+                emit(sel)
+                return
+            # deterministic sub-split with extra planes; identical-sign
+            # pairs (the near-dup signal) stay co-bucketed
+            signs = (U[sel] @ split_planes[depth]) > 0
+            sub_keys = (signs.astype(np.uint64) <<
+                        np.arange(4, dtype=np.uint64)[None, :]).sum(axis=1)
+            for key in np.unique(sub_keys):
+                members = sel[sub_keys == key]
+                if len(members) > 1:
+                    sub(members, depth + 1)
+
+        sub(np.arange(len(ids)), 0)
+        return pd.DataFrame({
+            "id_a": np.asarray(out_a, dtype=ids.dtype),
+            "id_b": np.asarray(out_b, dtype=ids.dtype),
+            "cosine": np.asarray(out_c, dtype=np.float64)})
+
+    pairs = bucketed.map_batches(keep_hot, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_cosine_pairs,
                                       batch_format="pandas")
+    # the same pair can collide in several tables → distinct
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))

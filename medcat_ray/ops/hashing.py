@@ -30,6 +30,18 @@ def text_hashes(texts: Iterable[str]) -> List[int]:
     return [stable_u64(t.encode("utf-8", "surrogatepass")) for t in texts]
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR; numpy<2 lacks
+    ``np.bitwise_count``).  Returns int64 counts."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >>
+            np.uint64(56)).astype(np.int64)
+
+
 _POLY_BASE = np.uint64(1_000_003)
 _POLY_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant
 

@@ -46,6 +46,12 @@ class BruteForceTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # upstream filters (knn_lsh keep_probed) can empty a block;
+            # np.argpartition on a 0-col matrix raises AxisError
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         ids = np.asarray(batch[self.id_col].to_pylist())
         V = _unit(_as_matrix(batch[self.vec_col]))
         S = self.Q @ V.T                      # (n_queries, n_batch)
@@ -194,6 +200,10 @@ def knn_ivf(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64())})
             ids = np.asarray(batch[id_col].to_pylist())
             V = _unit(_as_matrix(batch[vec_col]))
             cells = np.argmax(V @ self.C.T, axis=1)

@@ -1,0 +1,190 @@
+"""Round-2 dedup correctness: chained-component clustering (driver
+union-find vs distributed label propagation), Manku simhash exactness vs
+brute force, planted embedding near-dups, empty-batch ANN guards."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Connected components over star edges
+# ---------------------------------------------------------------------------
+
+
+def _edges_df(pairs):
+    return pd.DataFrame({"doc_id": [a for a, _ in pairs],
+                         "rep": [b for _, b in pairs]})
+
+
+def test_unionfind_chained_component():
+    """Buckets {1,3} and {2,3}: A~C, B~C, A!~B — the per-id-min fold got
+    this wrong (doc 2 stayed its own rep); union-find must merge all."""
+    from medcat_ray.ops.dedup import _unionfind_labels
+    edges = _edges_df([(1, 1), (3, 1), (2, 2), (3, 2)])
+    lbl = _unionfind_labels(edges, "doc_id")
+    assert dict(zip(lbl["doc_id"], lbl["rep"])) == {1: 1, 2: 1, 3: 1}
+
+
+def test_unionfind_long_chain_and_separate_component():
+    from medcat_ray.ops.dedup import _unionfind_labels
+    edges = _edges_df([(5, 4), (4, 3), (3, 2), (2, 1),
+                       (10, 10), (11, 10)])
+    lbl = _unionfind_labels(edges, "doc_id")
+    got = dict(zip(lbl["doc_id"], lbl["rep"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_propagate_labels_matches_unionfind(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.dedup import _propagate_labels, _unionfind_labels
+    pairs = [(1, 1), (3, 1), (2, 2), (3, 2),       # chained component
+             (5, 4), (4, 3),                        # chains into the above
+             (20, 20), (21, 20),                    # separate component
+             (30, 30)]                              # self-edge only
+    edges = rd.from_pandas(_edges_df(pairs))
+    dist = _propagate_labels(edges, "doc_id").to_pandas()
+    uf = _unionfind_labels(_edges_df(pairs), "doc_id")
+    got = dict(zip(dist["doc_id"], dist["rep"]))
+    want = dict(zip(uf["doc_id"], uf["rep"]))
+    assert got == want
+    assert got[5] == 1 and got[2] == 1 and got[21] == 20 and got[30] == 30
+
+
+def test_minhash_clusters_driver_vs_distributed(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.dedup import minhash_dedup_clusters
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight looking for food") * 3
+    docs = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("green", "blue")},
+        {"doc_id": 3, "text": "entirely different content " * 10},
+        {"doc_id": 4, "text": base},
+    ])
+    drv = minhash_dedup_clusters(docs, method="driver").to_pandas()
+    dst = minhash_dedup_clusters(docs, method="distributed").to_pandas()
+    assert dict(zip(drv["doc_id"], drv["rep"])) == \
+        dict(zip(dst["doc_id"], dst["rep"]))
+
+
+# ---------------------------------------------------------------------------
+# SimHash: Manku block scheme is exact for Hamming distance <= 3
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_candidates_match_bruteforce(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.dedup import add_simhash, simhash_candidates
+    from medcat_ray.ops.hashing import popcount64
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(30):
+        w = list(words)
+        if i % 3 == 1:
+            w[i % len(w)] = f"variant{i}"      # small token-set edit
+        if i % 3 == 2:
+            w = list(reversed(w))              # permutation → distance 0
+        rows.append({"doc_id": i, "text": " ".join(w * 3)})
+    ds = rd.from_items(rows)
+
+    sims = add_simhash(ds).to_pandas().sort_values("doc_id")
+    h = sims["simhash"].to_numpy().astype(np.uint64)
+    ids = sims["doc_id"].to_numpy()
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ham = popcount64(h[iu] ^ h[ju])
+    keep = ham <= 3
+    expected = {(int(ids[i]), int(ids[j]), int(d))
+                for i, j, d in zip(iu[keep], ju[keep], ham[keep])}
+    assert expected, "fixture must contain at least one close pair"
+
+    got_df = simhash_candidates(ds).to_pandas()
+    got = {(int(r.id_a), int(r.id_b), int(r.hamming))
+           for r in got_df.itertuples()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: planted scaled copies must always be found
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_near_dups_planted_scaled(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    n, dim, planted = 100, 32, 10
+    V = rng.normal(size=(n, dim))
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(n)]
+    # scaled copies: identical direction → identical LSH signs → recall 1
+    rows += [{"vec_id": 1000 + i, "embedding": (2.0 * V[i]).tolist()}
+             for i in range(planted)]
+    pairs = embedding_near_dups(rd.from_items(rows),
+                                threshold=0.95).to_pandas()
+    got = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
+    assert {(i, 1000 + i) for i in range(planted)} <= got
+
+    # every reported pair is a true near-dup (precision check vs brute force)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    all_vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in rows}
+    for a, b in got:
+        ua = all_vecs[a] / np.linalg.norm(all_vecs[a])
+        ub = all_vecs[b] / np.linalg.norm(all_vecs[b])
+        assert float(ua @ ub) >= 0.95 - 1e-9
+
+
+def test_embedding_near_dups_oversize_bucket_split(ray_session):
+    """A bucket larger than max_bucket still finds identical-direction
+    pairs through the recursive sub-split."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.normal(size=dim)
+    # 60 vectors tightly clustered around one direction → one big bucket
+    rows = [{"vec_id": i,
+             "embedding": (base + 0.01 * rng.normal(size=dim)).tolist()}
+            for i in range(60)]
+    pairs = embedding_near_dups(rd.from_items(rows), threshold=0.95,
+                                max_bucket=8).to_pandas()
+    assert len(pairs) > 0
+    # all ids participate in at least one pair (cluster is one clique)
+    seen = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert len(seen) >= 55
+
+
+# ---------------------------------------------------------------------------
+# ANN empty-batch guards
+# ---------------------------------------------------------------------------
+
+
+def test_bruteforce_topk_empty_batch(ray_session):
+    import ray
+    from medcat_ray.ops.similarity import BruteForceTopK
+    q = np.ones((1, 4))
+    ref = ray.put(([0], q))
+    stage = BruteForceTopK(queries_ref=ref, k=5)
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float32()))})
+    out = stage(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "neighbor_id", "score"]
+
+
+def test_knn_lsh_no_matching_bucket(ray_session):
+    """All corpus rows pruned (no bucket collision) must not crash."""
+    import ray.data as rd
+    from medcat_ray.ops.similarity import knn_lsh
+    rng = np.random.default_rng(3)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=8).tolist()}
+            for i in range(20)]
+    q = rng.normal(size=(1, 8))
+    out = knn_lsh(rd.from_items(rows), [0], q, k=3, n_planes=8,
+                  multiprobe=0, concurrency=1).to_pandas()
+    assert len(out) <= 3  # may be empty; must not raise
