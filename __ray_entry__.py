@@ -150,10 +150,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_candidates(ds)
 
     def embedding_near_dup_pairs(sf_dir):
+        """Near-dup pairs over embeddings AUGMENTED with deterministic
+        planted duplicates (vec_id+1000000 = 1.5× the first 20 vectors —
+        scaled copies have identical hyperplane signs, so LSH recall is
+        exactly 1 for them), which makes the operator SQL-checkable: the
+        testdata's random vectors top out at cosine ~0.51, so the planted
+        pairs are provably the complete ≥0.95 answer set."""
+        import pyarrow as pa
         import ray.data as rd
         from medcat_ray.ops.dedup import embedding_near_dups
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return embedding_near_dups(ds, threshold=0.95)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            mask = pa.compute.less(batch["vec_id"], 20)
+            sel = batch.filter(mask)
+            if sel.num_rows == 0:
+                return batch
+            scaled = [(np.asarray(v, dtype=np.float32) * np.float32(1.5))
+                      .tolist() for v in sel["embedding"].to_pylist()]
+            extra = pa.table({
+                "vec_id": pa.compute.add(sel["vec_id"], 1_000_000),
+                "embedding": pa.array(scaled, type=batch["embedding"].type)})
+            return pa.concat_tables([batch, extra])
+
+        aug = ds.map_batches(plant, batch_format="pyarrow")
+        out = embedding_near_dups(aug, threshold=0.95).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def knn_ivf_top10(sf_dir):
         import numpy as np
@@ -348,10 +372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_quality": doc_text_quality,
         "exact_dedup_docs": exact_dedup_docs,
         "knn_top10": knn_top10,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_candidates_docs": simhash_candidates_docs,
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_ivf_top10": knn_ivf_top10,
         "langid_docs": langid_docs,
@@ -523,5 +547,19 @@ SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id AS neighbor_id,
        ROUND(list_cosine_similarity(e.embedding, q.qv), 6) AS score
 FROM embeddings e, q
 ORDER BY score DESC, neighbor_id ASC LIMIT 10
+""",
+        "embedding_near_dup_pairs": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+  FROM embeddings WHERE vec_id < 20
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+ORDER BY id_a, id_b
 """,
     }

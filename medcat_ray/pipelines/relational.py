@@ -215,29 +215,62 @@ def events_sliding(sf_dir: str, window_min: int = 60,
         .reset_index(drop=True)
 
 
+def _merge_session_runs(df: pd.DataFrame, gap: pd.Timedelta,
+                        start_col: str, end_col: str) -> pd.DataFrame:
+    """ONE vectorized chain-merge over rows sorted by (user, start): a new
+    chain begins at a user change or a gap > ``gap`` since the previous
+    row's end; aggregate per chain.  No per-user dispatch."""
+    df = df.sort_values(["user_id", start_col, end_col]) \
+        .reset_index(drop=True)
+    new_chain = (df["user_id"] != df["user_id"].shift()) | \
+        ((df[start_col] - df[end_col].shift()) > gap)
+    if len(new_chain):
+        new_chain.iloc[0] = True
+    chain = new_chain.cumsum()
+    out = df.groupby(chain).agg(
+        user_id=("user_id", "first"),
+        session_start=(start_col, "min"),
+        session_end=(end_col, "max"),
+        n_events=("n_events", "sum"),
+        sum_value=("sum_value", "sum"))
+    return out.reset_index(drop=True)
+
+
 def user_sessions(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
     """Sessionization: per user, events sorted by time split into sessions
     at gaps > ``gap_min`` minutes; one row per session.
 
-    Partitioning assumption (documented per SURVEY §7.3): all events of one
-    user co-locate via the groupby; per-group work is vectorized pandas
-    (diff/cumsum), so wide users cost O(events) numpy, not Python loops."""
+    Scale shape (no per-user ``map_groups`` — one pandas call per user was
+    the round-1 anti-pattern): global sort by (user_id, ts, event_id), then
+    ONE vectorized shift/cumsum pass per sorted batch compresses events →
+    candidate sessions; sessions split by batch/block boundaries are then
+    chain-merged with the same vectorized pass over the (much smaller)
+    session rows.  The merge runs driver-side here because the query
+    returns a DataFrame anyway; at 10^12 events it is the identical
+    sort+map_batches pass applied recursively to session rows (volume
+    drops by the events-per-session factor each level)."""
     gap = pd.Timedelta(minutes=gap_min)
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts", "value"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session"] = new_session.cumsum()
-        out = g.groupby("session", as_index=False).agg(
+    def block_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "session_start", "session_end",
+                "n_events", "sum_value"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        new_s = (df["user_id"] != df["user_id"].shift()) | \
+            ((df["ts"] - df["ts"].shift()) > gap)
+        new_s.iloc[0] = True
+        g = df.groupby(new_s.cumsum()).agg(
             user_id=("user_id", "first"), session_start=("ts", "min"),
             session_end=("ts", "max"), n_events=("ts", "size"),
             sum_value=("value", "sum"))
-        return out.drop(columns=["session"])
+        return g.reset_index(drop=True)
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas") \
-        .to_pandas()
+    sess = ds.sort(["user_id", "ts", "event_id"]) \
+        .map_batches(block_sessions, batch_format="pandas")
+    out = _merge_session_runs(sess.to_pandas(), gap,
+                              "session_start", "session_end")
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(3)
     return out.sort_values(["user_id", "session_start"]) \

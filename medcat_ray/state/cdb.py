@@ -454,6 +454,15 @@ class CDB:
                 h.update(self.cui2context_vectors[cui][ctx_type].tobytes())
         for cui in sorted(self.cui2count_train):
             h.update(f"{cui}:{self.cui2count_train[cui]}".encode())
+        # output-affecting metadata: pretty_name, type_ids and the cui2group
+        # canonicalization map all change annotate output — a hash that
+        # misses them lets run_partitioned skip stale partitions
+        for cui in sorted(self.cui2preferred_name):
+            h.update(f"p:{cui}={self.cui2preferred_name[cui]}".encode())
+        for cui in sorted(self.cui2type_ids):
+            h.update(f"t:{cui}={sorted(self.cui2type_ids[cui])}".encode())
+        h.update(json.dumps(_jsonable(self.addl_info),
+                            sort_keys=True, default=str).encode())
         return h.hexdigest()[:16]
 
 

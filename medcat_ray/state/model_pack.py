@@ -31,8 +31,10 @@ def save_model_pack(path: str, cdb: CDB, vocab: Vocab,
     h = hashlib.sha256()
     h.update(cdb_hash.encode())
     h.update(cfg_json.encode())
-    for word in sorted(vocab.word2cnt)[:10000]:
-        h.update(word.encode())
+    # full vocab content (words + counts + vector bytes): retrained word
+    # vectors change context_similarity output, so they must invalidate
+    # resume — a words-only prefix hash silently skipped stale partitions
+    h.update(vocab.content_hash().encode())
     pack_hash = h.hexdigest()[:16]
     with open(os.path.join(path, "pack_hash.txt"), "w") as fh:
         fh.write(pack_hash)

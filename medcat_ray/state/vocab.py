@@ -107,6 +107,19 @@ class Vocab:
 
     # -- serialization ----------------------------------------------------
 
+    def content_hash(self) -> str:
+        """Deterministic hash over words, counts AND vector bytes — vocab
+        vectors feed context_similarity, so retraining them must
+        invalidate the pack hash (resume correctness)."""
+        import hashlib
+        h = hashlib.sha256()
+        for word in sorted(self.word2cnt):
+            h.update(f"{word}:{self.word2cnt[word]}".encode())
+            v = self.vec(word)
+            if v is not None:
+                h.update(np.ascontiguousarray(v, dtype=np.float32).tobytes())
+        return h.hexdigest()[:16]
+
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         words = sorted(self.word2cnt)

@@ -39,3 +39,43 @@ def test_job_end_to_end_and_resume(ray_session, tmp_path):
     assert rc2 == 0
     summary2 = json.load(open(os.path.join(out, "job_summary.json")))
     assert summary2["entities_rows"] == summary["entities_rows"]
+
+
+def test_pack_hash_covers_vocab_vectors_and_cdb_metadata(tmp_path):
+    """Perturbing output-affecting state the old hash missed (vocab
+    vectors/counts, cui2preferred_name, cui2type_ids, cui2group in
+    addl_info) must change the pack hash so resume recomputes."""
+    import numpy as np
+    from medcat_ray.fixtures import build_fixture_models
+    from medcat_ray.state.model_pack import save_model_pack
+
+    (tmp_path / "m").mkdir()
+    cdb, vocab = build_fixture_models(str(tmp_path / "m"), n_cuis=20)
+    base = save_model_pack(str(tmp_path / "p0"), cdb, vocab)
+
+    # vocab vector perturbation
+    if vocab.vectors.size:
+        vocab.vectors[0, 0] += 1.0
+        assert save_model_pack(str(tmp_path / "p1"), cdb, vocab) != base
+        vocab.vectors[0, 0] -= 1.0
+    # vocab count perturbation
+    w = next(iter(vocab.word2cnt))
+    vocab.word2cnt[w] += 1
+    assert save_model_pack(str(tmp_path / "p2"), cdb, vocab) != base
+    vocab.word2cnt[w] -= 1
+    # preferred-name perturbation
+    cui = next(iter(cdb.cui2names))
+    old = cdb.cui2preferred_name.get(cui, "")
+    cdb.cui2preferred_name[cui] = old + "_x"
+    assert save_model_pack(str(tmp_path / "p3"), cdb, vocab) != base
+    cdb.cui2preferred_name[cui] = old
+    # type-ids perturbation
+    cdb.cui2type_ids.setdefault(cui, set()).add("T999")
+    assert save_model_pack(str(tmp_path / "p4"), cdb, vocab) != base
+    cdb.cui2type_ids[cui].discard("T999")
+    # cui2group (addl_info) perturbation
+    cdb.addl_info.setdefault("cui2group", {})[cui] = "GROUP_X"
+    assert save_model_pack(str(tmp_path / "p5"), cdb, vocab) != base
+    cdb.addl_info["cui2group"].pop(cui)
+    # restored state reproduces the base hash (determinism)
+    assert save_model_pack(str(tmp_path / "p6"), cdb, vocab) == base
