@@ -179,7 +179,8 @@ _LEMMA_EXCEPTIONS: Dict[str, str] = {
     "teeth": "tooth", "mice": "mouse", "geese": "goose", "people": "person",
 }
 
-LEMMATIZER_VERSION = "1"
+LEMMATIZER_VERSION = "2"  # v2: floss-consonant dedup rule (fall/spell keep
+#                           their double letter; run/stop still strip)
 
 
 def lemmatize(word: str) -> str:
@@ -199,16 +200,23 @@ def lemmatize(word: str) -> str:
     if word.endswith("s") and n > 3:
         return word[:-1]
     if word.endswith("ing") and n >= 6:
-        stem = word[:-3]
-        if len(stem) >= 2 and stem[-1] == stem[-2]:
-            stem = stem[:-1]
-        return stem if len(stem) >= 3 else word
+        return _dedup_stem(word[:-3], word)
     if word.endswith("ed") and n >= 5:
-        stem = word[:-2]
-        if len(stem) >= 2 and stem[-1] == stem[-2]:
-            stem = stem[:-1]
-        return stem if len(stem) >= 3 else word
+        return _dedup_stem(word[:-2], word)
     return word
+
+
+# English "floss" consonants double in the base form (fall, spell, glass,
+# buzz, staff) — a doubled final consonant outside this set comes from
+# -ing/-ed doubling (run→running, stop→stopped) and is stripped.
+_KEEP_DOUBLE = frozenset("lszf")
+
+
+def _dedup_stem(stem: str, word: str) -> str:
+    if len(stem) >= 2 and stem[-1] == stem[-2] \
+            and stem[-1] not in _KEEP_DOUBLE:
+        stem = stem[:-1]
+    return stem if len(stem) >= 3 else word
 
 
 # ---------------------------------------------------------------------------

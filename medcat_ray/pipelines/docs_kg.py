@@ -67,6 +67,160 @@ def docs_cdb() -> Tuple[CDB, Vocab]:
     return cdb, Vocab()
 
 
+# ---------------------------------------------------------------------------
+# HARD concept space: multi-token names, skip-token gaps, ambiguity — the
+# annotator paths the single-token oracle can't reach (M6 extension loop,
+# M7 acceptance, M8 do_disamb branches, M10 similarity + primary-name boost,
+# M11 overlap resolution).  Still exactly SQL-expressible because:
+#   * the three bigram names have disjoint first-word / second-word token
+#     sets, so bigram matches never overlap each other — overlap resolution
+#     reduces to "a bigram always claims its two tokens" (its char span is
+#     strictly longer than any single-token span);
+#   * skip_stopwords=True makes the gap rule purely positional: a bigram
+#     (w1@i, w2@j) matches iff every token between i and j is a stopword
+#     and j-i-1 <= max_skip_tokens;
+#   * the ambiguous name's context vectors are constructed so the P-status
+#     CUI wins for EVERY context (all vocab vectors equal u, P vector = u,
+#     N vector = -u → sims are +1/-1 before the primary-name boost).
+# ---------------------------------------------------------------------------
+
+HARD_CONFIG = EngineConfig(spell_check=False, skip_stopwords=True)
+
+# (w1, w2) -> cui; components are lemmatizer-fixed corpus words
+DOC_MULTI: Dict[Tuple[str, str], str] = {
+    ("customer", "join"): "C0000101",
+    ("table", "merge"): "C0000102",
+    ("hash", "query"): "C0000103",
+}
+
+AMBIG_NAME = "stream"          # P CUI (C0000006) + the N twin below
+AMBIG_N_CUI = "C0000200"
+NSTATUS_NAME = "column"        # single-CUI N-status name → disamb branch
+NSTATUS_CUI = "C0000300"
+
+_CORPUS_WORDS = ("key agg row scan slow fast table value part hash merge "
+                 "batch spark a the line sort window join filter stream "
+                 "vector query customer column small order dup big "
+                 "empty").split()
+
+
+def docs_cdb_hard() -> Tuple[CDB, Vocab]:
+    """Extended frozen CDB + vocab with identical word vectors.
+
+    Deterministic-by-construction disambiguation: every vocab word carries
+    the SAME vector u, so any entity context vector is a positive multiple
+    of u; the ambiguous P CUI (context vector u) scores +1 and its N twin
+    (context vector -u) scores -1 for every occurrence — the similarity
+    and primary-name-boost code paths run for real, with a provable
+    winner."""
+    import numpy as np
+
+    cdb = CDB(HARD_CONFIG)
+    for word, cui in sorted(DOC_CONCEPTS.items()):
+        cdb.add_concept(cui, prepare_name(word, HARD_CONFIG),
+                        name_status="P", type_ids={DOC_TYPES[word]})
+    for (w1, w2), cui in sorted(DOC_MULTI.items()):
+        cdb.add_concept(cui, prepare_name(f"{w1} {w2}", HARD_CONFIG),
+                        name_status="P", type_ids={"T_OP"})
+    cdb.add_concept(AMBIG_N_CUI, prepare_name(AMBIG_NAME, HARD_CONFIG),
+                    name_status="N", type_ids={"T_OP"})
+    cdb.add_concept(NSTATUS_CUI, prepare_name(NSTATUS_NAME, HARD_CONFIG),
+                    name_status="N", type_ids={"T_OBJ"})
+
+    u = np.ones(8, dtype=np.float64)
+    vocab = Vocab()
+    for w in sorted(_CORPUS_WORDS):
+        vocab.add_word(w, cnt=100, vec=u)
+    ctx_types = list(HARD_CONFIG.context_vector_sizes)
+    for cui, vec in (("C0000006", u), (AMBIG_N_CUI, -u),
+                     (NSTATUS_CUI, u)):
+        cdb.cui2context_vectors[cui] = {t: vec.copy() for t in ctx_types}
+        cdb.cui2count_train[cui] = 100
+    return cdb, vocab
+
+
+def kg_entities_hard(sf_dir: str) -> rd.Dataset:
+    """kg_entities over the HARD concept space: exercises greedy
+    multi-token extension, stopword skip-gaps, P/N disambiguation with
+    context similarity, and longest-span overlap resolution — all
+    SQL-checked."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb_hard()
+    ann = kg.annotate(docs, (cdb, vocab), HARD_CONFIG,
+                      concurrency=2, batch_size=128, key_column="doc_id")
+    ents = kg.entities(ann, key_column="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "start_pos": batch["start"],
+            "end_pos": batch["end"],
+            "cui": batch["cui"],
+            "source_value": batch["source_value"],
+        })
+    return ents.map_batches(project, batch_format="pyarrow")
+
+
+def hard_entities_oracle_sql(max_skip: int = 2) -> str:
+    """DuckDB oracle for :func:`kg_entities_hard`.
+
+    Bigram matches: (w1@i, w2@j), all tokens strictly between are
+    stopwords, gap = j-i-1 <= max_skip; span = w1 start .. w2 end
+    (source_value read straight from the document text so gapped spans
+    include the skipped words).  Singles: concept tokens not claimed by a
+    bigram; ambiguity resolved to the frozen winners."""
+    multi_rows = ", ".join(
+        f"('{w1}', '{w2}', '{cui}')"
+        for (w1, w2), cui in sorted(DOC_MULTI.items()))
+    single_map = dict(DOC_CONCEPTS)
+    single_map[NSTATUS_NAME] = NSTATUS_CUI     # N-status single-CUI concept
+    single_rows = ", ".join(f"('{w}', '{c}')"
+                            for w, c in sorted(single_map.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), pos AS (
+  SELECT doc_id, text, tok, i,
+         CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS start_pos
+  FROM toks
+), multi AS (
+  SELECT p1.doc_id, p1.start_pos,
+         CAST(p2.start_pos + length(p2.tok) AS INT) AS end_pos,
+         m.cui, p1.i AS i1, p2.i AS i2, p1.text AS text
+  FROM pos p1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id
+             AND p2.i > p1.i AND p2.i <= p1.i + {max_skip + 1}
+  JOIN (VALUES {multi_rows}) AS m(w1, w2, cui)
+    ON p1.tok = m.w1 AND p2.tok = m.w2
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos g
+    WHERE g.doc_id = p1.doc_id AND g.i > p1.i AND g.i < p2.i
+      AND g.tok NOT IN ('a', 'the'))
+), singles AS (
+  SELECT p.doc_id, p.start_pos,
+         CAST(p.start_pos + length(p.tok) AS INT) AS end_pos,
+         s.cui, p.tok AS source_value
+  FROM pos p
+  JOIN (VALUES {single_rows}) AS s(name, cui) ON p.tok = s.name
+  WHERE NOT EXISTS (
+    SELECT 1 FROM multi m
+    WHERE m.doc_id = p.doc_id AND p.i IN (m.i1, m.i2))
+)
+SELECT doc_id, start_pos, end_pos, cui,
+       substr(text, start_pos + 1, end_pos - start_pos) AS source_value
+FROM multi
+UNION ALL
+SELECT doc_id, start_pos, end_pos, cui, source_value FROM singles
+"""
+
+
 def _annotated(sf_dir: str, concurrency=2, batch_size: int = 128):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])

@@ -188,3 +188,42 @@ def test_knn_lsh_no_matching_bucket(ray_session):
     out = knn_lsh(rd.from_items(rows), [0], q, k=3, n_planes=8,
                   multiprobe=0, concurrency=1).to_pandas()
     assert len(out) <= 3  # may be empty; must not raise
+
+
+# ---------------------------------------------------------------------------
+# LangID accuracy self-check (frozen floor over a 20-sentence sample; the
+# testdata lang column is label-only — its text is identical token soup for
+# every language — so real-language sentences are the usable oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_langid_accuracy_floor(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.textstats import add_langid
+    samples = [
+        ("en", "the weather was good and it is that time of the year for a walk in the park with his dog"),
+        ("en", "it was the best of times and it was the worst of times for the people of the city"),
+        ("en", "the committee is expected to vote on the proposal that was submitted in the spring"),
+        ("en", "she said that the results of the study were consistent with the earlier findings"),
+        ("fr", "le chat est dans la maison et les enfants jouent dans le jardin avec une balle"),
+        ("fr", "la réunion est prévue pour le matin et les documents sont sur la table dans le bureau"),
+        ("fr", "les élèves qui travaillent pour la science sont dans une salle avec des livres"),
+        ("fr", "il est dans les montagnes pour une semaine et la neige est belle dans cette région"),
+        ("es", "el perro está en la casa y los niños juegan en el parque con una pelota roja"),
+        ("es", "la reunión es por la mañana y los documentos están en la mesa para el director"),
+        ("es", "los estudiantes que trabajan para la ciencia están en una sala con los libros"),
+        ("es", "es una ciudad grande con más parques que el resto del país pero con menos ruido"),
+        ("de", "der Hund ist nicht mit der Katze auf dem Tisch und das ist ein gutes Zeichen"),
+        ("de", "die Sitzung ist am Morgen und die Unterlagen sind auf dem Tisch von dem Chef"),
+        ("de", "ein Student der mit der Wissenschaft arbeitet ist in einem Raum mit den Büchern"),
+        ("de", "sich auf den Weg zu machen ist nicht leicht und die Reise ist von Anfang an lang"),
+        ("zh", "这是一个中文文本的例子 其中包含很多汉字 用于测试语言识别的功能是否正确"),
+        ("zh", "今天的天气非常好 我们决定去公园散步 然后在湖边吃午饭 下午回家休息"),
+        ("zh", "机器学习是人工智能的一个分支 它通过数据训练模型 并用于各种预测任务"),
+        ("zh", "这座城市有很多历史建筑 每年吸引大量游客 其中一些建筑已有数百年历史"),
+    ]
+    rows = [{"doc_id": i, "lang": l, "text": t}
+            for i, (l, t) in enumerate(samples)]
+    out = add_langid(rd.from_items(rows), concurrency=1).to_pandas()
+    acc = (out["lang_pred"] == out["lang"]).mean()
+    assert acc >= 0.95, f"langid accuracy {acc} below frozen floor"

@@ -1,0 +1,83 @@
+"""Hard annotator paths over the HARD frozen concept space: greedy
+multi-token extension (M6), stopword skip-gaps, P/N disambiguation with
+real context similarity (M8/M10), overlap resolution (M11).  These are the
+same semantics the kg_entities_hard DuckDB oracle checks end-to-end."""
+
+from medcat_ray.core.annotator import DocAnnotator
+from medcat_ray.pipelines.docs_kg import HARD_CONFIG, docs_cdb_hard
+
+
+def _annotate(text):
+    cdb, vocab = docs_cdb_hard()
+    ann = DocAnnotator(cdb, vocab, HARD_CONFIG)
+    return ann.annotate(text)
+
+
+def _spans(ents):
+    return [(e["cui"], e["start"], e["end"], e["source_value"])
+            for e in ents]
+
+
+def test_multitoken_adjacent_and_singles():
+    text = "customer join spark"
+    ents = _spans(_annotate(text))
+    assert ents == [("C0000101", 0, 13, "customer join"),
+                    ("C0000001", 14, 19, "spark")]
+
+
+def test_skip_gap_one_and_two_stopwords():
+    # "table the merge" (1-gap) and "hash a the query" (2-gap) both match;
+    # source_value includes the skipped words (reference Span semantics)
+    text = "table the merge hash a the query"
+    ents = _spans(_annotate(text))
+    assert ents == [("C0000102", 0, 15, "table the merge"),
+                    ("C0000103", 16, 32, "hash a the query")]
+
+
+def test_three_stopword_gap_exceeds_max_skip():
+    # max_skip_tokens = 2: a 3-stopword gap must NOT extend — the two
+    # words are annotated as singles instead
+    text = "customer a the a join"
+    ents = _spans(_annotate(text))
+    assert ents == [("C0000012", 0, 8, "customer"),
+                    ("C0000002", 17, 21, "join")]
+
+
+def test_overlap_resolution_bigram_beats_singles():
+    # "table" is claimed by table~merge, so its single is suppressed but
+    # the trailing "hash query" bigram still fires
+    text = "table merge hash query"
+    ents = _spans(_annotate(text))
+    assert ents == [("C0000102", 0, 11, "table merge"),
+                    ("C0000103", 12, 22, "hash query")]
+
+
+def test_ambiguous_name_disambiguates_to_primary():
+    # "stream" has P (C0000006, ctx vector +u) and N (C0000200, -u)
+    # candidates: similarity + primary-name boost must pick the P CUI
+    ents = _annotate("fast stream value")
+    assert len(ents) == 1
+    assert ents[0]["cui"] == "C0000006"
+    # the disambiguation branch really ran: boosted sim 0.99, not the
+    # direct-link 1.0
+    assert abs(ents[0]["context_similarity"] - 0.99) < 1e-9
+
+
+def test_nstatus_single_cui_runs_disamb_with_similarity():
+    # "column" has one candidate with status N → do_disamb branch; context
+    # similarity (+1 vs its own vector) links it, clamped to 0.99 by the
+    # prefer_frequent_concepts branch (reference min(0.99, ...) clamp)
+    ents = _annotate("big column scan")
+    assert len(ents) == 1
+    assert ents[0]["cui"] == "C0000300"
+    assert abs(ents[0]["context_similarity"] - 0.99) < 1e-9
+
+
+def test_greedy_breaks_on_first_non_extension():
+    # from "hash", the next non-skip token "hash" does not extend
+    # ("hash~hash" not a name) → greedy breaks; the second "hash" starts
+    # its own successful extension to "hash query"
+    text = "hash the hash query"
+    ents = _spans(_annotate(text))
+    assert ents == [("C0000011", 0, 4, "hash"),
+                    ("C0000103", 9, 19, "hash query")]

@@ -1,0 +1,152 @@
+"""Model-creation + entity-linking scenario parity.
+
+Reproduces the reference's model_creator end-to-end scenarios
+(/root/reference/tests/test_entity_linking.py:14-141: build CDB from a
+concept CSV, build a Vocab + word vectors from a raw text corpus, train
+unsupervised, then assert linking behavior for lemmatization, diacritics
+and uppercase-abbreviation handling) with our OWN fixture data exhibiting
+the same phenomena.  This is the real-English-text evidence behind the
+P/R >= 0.95 north rule that the frozen docs CDB can't provide.
+"""
+
+import io
+import csv
+
+import pytest
+
+from medcat_ray.config import EngineConfig
+from medcat_ray.core.annotator import DocAnnotator
+from medcat_ray.state.cdb import CDB
+
+CONCEPT_CSV = """cui,name,ontologies,name_status,type_ids,description
+CT000001,Glioma,MTH,P,T191,Neoplastic Process
+CT000001,Glial tumour,MTH,A,T191,Neoplastic Process
+CT000002,Brain Glioma,MTH,P,T191,Neoplastic Process
+CT000002,Glioma of brain,MTH,A,T191,Neoplastic Process
+CT000003,Seizure,MTH,P,T033,Finding
+CT000004,Fall,MTH,P,T033,Finding
+CT000005,Sjögren's Syndrome,MTH,P,T047,Disease or Syndrome
+CT000006,ALS,MTH,A,T047,Disease or Syndrome
+CT000007,Riluzole,MTH,A,T109,Organic Chemical
+CT000008,Radiosurgery,MTH,P,T061,Therapeutic or Preventive Procedure
+CT000009,Weakness,MTH,P,T033,Finding
+"""
+
+# Hand-written wikipedia-style training corpus (our own text).
+CORPUS = [
+    "A glioma is a tumour that arises from glial cells in the brain or "
+    "spine. A brain glioma is graded by its cell type and aggressiveness. "
+    "Patients with a glioma often present with a seizure or with "
+    "progressive weakness of one side of the body.",
+    "Seizure control matters because a seizure during recovery can cause "
+    "a fall with serious injury. Older patients are afraid of falling "
+    "after their first seizure, and weakness increases the risk of a "
+    "fall at home.",
+    "Sjögren's syndrome is an autoimmune disease. Sjögren's syndrome "
+    "commonly causes dry eyes and dry mouth, and weakness or fatigue "
+    "may accompany it.",
+    "ALS is a progressive disease of the motor neurons. Riluzole is "
+    "used to slow the progression of ALS, and weakness of the limbs is "
+    "usually the first sign of ALS.",
+    "Radiosurgery delivers focused radiation to a brain glioma in a "
+    "single session. After radiosurgery some patients report a mild "
+    "seizure, but most recover fully.",
+]
+
+CFG = EngineConfig(diacritics=True, check_upper_case_names=True,
+                   spell_check=False)
+
+
+@pytest.fixture(scope="module")
+def models(ray_session):
+    import ray.data as rd
+    from medcat_ray.pipelines.train import (apply_training,
+                                            train_unsupervised_distributed)
+    from medcat_ray.pipelines.vocab_builder import make_vocab
+
+    cdb = CDB(CFG)
+    cdb.add_concept_rows(csv.DictReader(io.StringIO(CONCEPT_CSV)),
+                         full_build=True)
+    corpus = rd.from_items([{"doc_id": i, "text": t}
+                            for i, t in enumerate(CORPUS)])
+    vocab = make_vocab(corpus, cdb, CFG, dim=64, window=5, min_count=1)
+    result = train_unsupervised_distributed(corpus, (cdb, vocab), CFG,
+                                            concurrency=2)
+    apply_training(cdb, result)
+    return cdb, vocab
+
+
+def _cuis(models, text):
+    cdb, vocab = models
+    ann = DocAnnotator(cdb, vocab, CFG)
+    return [e["cui"] for e in ann.annotate(text)]
+
+
+def test_vocab_built_from_corpus(models):
+    _, vocab = models
+    assert "glioma" in vocab
+    assert vocab.word2cnt["seizure"] >= 5
+    # corpus words got trained vectors; CDB-only words joined with count 1
+    assert vocab.vec("glioma") is not None
+    assert "radiosurgery" in vocab
+
+
+def test_entity_linking_basic(models):
+    # ref TestEntityLinking.test_entity_linking: expected CUIs found,
+    # over-general CUI not found for the more specific mention
+    text = ("Common treatments include radiosurgery. A brain glioma "
+            "often presents with a seizure and weakness.")
+    cuis = _cuis(models, text)
+    for expected in ("CT000008", "CT000002", "CT000003", "CT000009"):
+        assert expected in cuis
+    # "brain glioma" must link the 2-token concept, not bare Glioma
+    assert "CT000001" not in cuis
+
+
+def test_lemmatization_not_required(models):
+    # ref TestLemmatization.test_lemmatization_not_required
+    assert "CT000004" in _cuis(models, "In the event of a fall")
+
+
+def test_lemmatization_required(models):
+    # ref TestLemmatization.test_lemmatization_required: "falling" links
+    # to Fall only through token normalization
+    assert "CT000004" in _cuis(models,
+                               "The patient is afraid of falling.")
+
+
+def test_diacritics_in_cdb(models):
+    # ref TestDiacritics.test_diacritics_in_cdb
+    cdb, _ = models
+    assert "sjögren" in cdb.cui2snames["CT000005"]
+
+
+def test_diacritics_in_text(models):
+    # ref TestDiacritics.test_diacritics_in_text
+    text = ("Sjögren's syndrome is a disorder characterized by dry eyes "
+            "and dry mouth.")
+    assert "CT000005" in _cuis(models, text)
+
+
+def test_uppercase_abbreviation_in_sentence(models):
+    # ref TestCheckUpperCaseNames.test_uppercase_abbreviation_in_sentence
+    assert "CT000006" in _cuis(
+        models, "Progression of ALS has an effect on mobility.")
+
+
+def test_uppercase_abbreviation_start_sentence(models):
+    assert "CT000006" in _cuis(models, "ALS groups have been identified.")
+
+
+def test_lowercase_non_abbreviation_not_linked(models):
+    # ref test_lowercase_non_abbreviation_*: the lowercase form of an
+    # uppercase-only name must not link
+    assert _cuis(models, "The als should not be linked here.") == []
+    assert _cuis(models, "Als should not be linked either.") == []
+
+
+def test_uppercase_non_abbreviation(models):
+    # ref test_uppercase_non_abbreviation: an all-caps mention of a
+    # non-abbreviation name still links
+    assert "CT000007" in _cuis(
+        models, "RILUZOLE is a drug used to slow disease progression.")
