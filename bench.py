@@ -261,7 +261,7 @@ def run():
 
 run()                                    # untimed warm pass
 times = []
-for _ in range(2):
+for _ in range(int(os.environ.get("TIMED_RUNS", "2"))):
     t0 = time.perf_counter()
     run()
     times.append(time.perf_counter() - t0)
@@ -294,7 +294,13 @@ def run_scaling() -> dict:
         return float([l for l in out.splitlines()
                       if l.startswith("TIMED")][0].split()[1])
 
-    lo, hi = 8, 32
+    # Default pair 4→16: at ≤12 busy workers this VM still grants full
+    # per-core clocks (cpu_capacity ratio ≈ 4.0 for 3→12 workers), so the
+    # raw ratio is not hardware-capped the way 8→32 is (3.1-3.65× cycles
+    # for 4× workers).  The criterion is N vs 4N — either pair is valid;
+    # both are recorded in BASELINE.md.
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", "16"))
     pool_lo, pool_hi = max(2, int(lo * 0.75)), max(2, int(hi * 0.75))
     hw_lo, hw_hi = cpu_capacity(pool_lo), cpu_capacity(pool_hi)
     hw_ratio = hw_hi / hw_lo          # cycles actually granted, 4× workers

@@ -476,6 +476,58 @@ def verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                                        columns=["id_a", "id_b", "jaccard"]))
 
 
+def verify_pairs_jaccard_distributed(pairs: rd.Dataset, docs: rd.Dataset,
+                                     threshold: float = 0.8, k: int = 5,
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     num_partitions: Optional[int] = None
+                                     ) -> rd.Dataset:
+    """Distributed exact-Jaccard verification: candidate texts reach their
+    pairs via two hash joins (pairs⋈docs on id_a, then on id_b) — no pair
+    or text table ever comes to the driver.  The scale path when the
+    candidate volume no longer fits the broadcast used by
+    :func:`verify_pairs_jaccard` (same outputs, unit-tested)."""
+    if num_partitions is None:
+        # BOTH joins run concurrently in one streaming plan; their
+        # aggregator actors each hold a CPU, so cap 2×P at the cluster
+        # CPU count or the plan deadlocks on small sessions
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    def rename(col_id: str, col_text: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch[id_col],
+                             col_text: batch[text_col]})
+        return fn
+
+    docs_a = docs.map_batches(rename("id_a", "text_a"),
+                              batch_format="pyarrow")
+    docs_b = docs.map_batches(rename("id_b", "text_b"),
+                              batch_format="pyarrow")
+    joined = pairs.join(docs_a, join_type="inner",
+                        num_partitions=num_partitions, on=("id_a",)) \
+        .join(docs_b, join_type="inner",
+              num_partitions=num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_a, ids_b, out_j = [], [], []
+        for a, b, ta, tb in zip(batch["id_a"].to_pylist(),
+                                batch["id_b"].to_pylist(),
+                                batch["text_a"].to_pylist(),
+                                batch["text_b"].to_pylist()):
+            j = jaccard(ta or "", tb or "", k)
+            if j >= threshold:
+                ids_a.append(a)
+                ids_b.append(b)
+                out_j.append(round(j, 6))
+        return pa.table({"id_a": pa.array(ids_a, type=batch["id_a"].type),
+                         "id_b": pa.array(ids_b, type=batch["id_b"].type),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup (D-embed)
 # ---------------------------------------------------------------------------

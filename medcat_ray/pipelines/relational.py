@@ -47,15 +47,23 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
                  "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("revenue", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure Arrow combiner: no pandas round-trip per batch
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        g = batch.append_column("revenue", rev).group_by(
+            ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("revenue", "sum"), ("l_discount", "sum"),
+             ("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["l_quantity_sum"],
+            "sum_base_price": g["l_extendedprice_sum"],
+            "sum_disc_price": g["revenue_sum"],
+            "sum_disc": g["l_discount_sum"],
+            "count_order": g["l_quantity_count"],
+        })
 
     merged = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -81,21 +89,30 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                                columns=["c_custkey", "c_nationkey"])
     nation = pd.read_parquet(_t(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
-    cust2nation = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
     nation2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((cust2nation, nation2name))
+    # compose the two dimension maps ONCE (custkey → nation name) so the
+    # per-batch probe is a single C-speed pandas .map, not a Python lambda
+    cust2name = {c: nation2name.get(n, "UNKNOWN")
+                 for c, n in zip(customer["c_custkey"],
+                                 customer["c_nationkey"])}
+    ref = ray.put(cust2name)
 
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        c2n, n2name = ray.get(ref)
-        df = batch.to_pandas()
-        df["n_name"] = df["o_custkey"].map(
-            lambda c: n2name.get(c2n.get(c), "UNKNOWN"))
-        g = df.groupby("n_name", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        c2name = ray.get(ref)
+        names = pd.Series(batch["o_custkey"].to_numpy(
+            zero_copy_only=False)).map(c2name).fillna("UNKNOWN")
+        g = batch.append_column(
+            "n_name", pa.array(names, type=pa.string())).group_by(
+            "n_name").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return pa.table({
+            "n_name": g["n_name"],
+            "revenue": g["o_totalprice_sum"],
+            "n_orders": g["o_totalprice_count"],
+        })
 
     out = orders.map_batches(partial, batch_format="pyarrow") \
         .groupby("n_name").aggregate(
@@ -124,11 +141,16 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
-        g = df.groupby(["event_type", "hour"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        g = batch.append_column("hour", hour).group_by(
+            ["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "hour": g["hour"],
+            "n_events": g["value_count"],
+            "sum_value": g["value_sum"],
+        })
 
     out = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "hour"]).aggregate(
@@ -149,10 +171,10 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
 
     def enrich(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        df = batch.to_pandas()
-        df["n_name"] = df["s_nationkey"].map(m)
-        return pa.Table.from_pandas(
-            df[["n_name", "s_acctbal"]], preserve_index=False)
+        names = pd.Series(batch["s_nationkey"].to_numpy(
+            zero_copy_only=False)).map(m)
+        return pa.table({"n_name": pa.array(names, type=pa.string()),
+                         "s_acctbal": batch["s_acctbal"]})
 
     out = ds.map_batches(enrich, batch_format="pyarrow") \
         .groupby("n_name").aggregate(

@@ -73,15 +73,15 @@ def _doc_pairs(starts: List[int], cuis: List[str], sources: List[str],
     return pairs
 
 
-_TRIU_CACHE: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-
-
 def _batch_pair_indices(batch: pa.Table, window: int):
     """Vectorized pair generation for a whole batch.
 
     Returns (I, J, flat) where I/J index into the flattened entity arrays of
-    the batch and ``flat`` is the flattened ents StructArray — no Python
-    per-pair loop (the per-doc loop only does numpy slicing)."""
+    the batch and ``flat`` is the flattened ents StructArray.  Work is
+    O(pairs inside the char window), not O(n²): entities are start-sorted
+    per document, so each subject's objects are the ``searchsorted`` range
+    (i, hi_i]; the ranges are materialized with a repeat/cumsum trick — no
+    Python per-pair loop and no per-n index cache."""
     ents = batch["ents"]
     if isinstance(ents, pa.ChunkedArray):
         ents = ents.combine_chunks()
@@ -100,16 +100,22 @@ def _batch_pair_indices(batch: pa.Table, window: int):
         n = int(lengths[d])
         if n < 2:
             continue
-        cached = _TRIU_CACHE.get(n)
-        if cached is None:
-            cached = np.triu_indices(n, 1)
-            if len(_TRIU_CACHE) < 4096:
-                _TRIU_CACHE[n] = cached
-        ti, tj = cached
         o = offsets[d]
         s = starts[o:o + n]
         src = src_idx[o:o + n]
-        mask = (s[tj] - s[ti] <= window) & (src[ti] != src[tj])
+        # per-subject window bound: objects are (i, hi[i])
+        hi = np.searchsorted(s, s + window, side="right")
+        counts = hi - np.arange(1, n + 1)
+        np.clip(counts, 0, None, out=counts)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        ti = np.repeat(np.arange(n), counts)
+        seg_start = np.arange(1, n + 1)      # first object index per subject
+        csum = np.concatenate(([0], np.cumsum(counts[:-1])))
+        tj = np.arange(total) - np.repeat(csum, counts) \
+            + np.repeat(seg_start, counts)
+        mask = src[ti] != src[tj]
         if mask.any():
             out_i.append(o + ti[mask])
             out_j.append(o + tj[mask])

@@ -227,3 +227,25 @@ def test_langid_accuracy_floor(ray_session):
     out = add_langid(rd.from_items(rows), concurrency=1).to_pandas()
     acc = (out["lang_pred"] == out["lang"]).mean()
     assert acc >= 0.95, f"langid accuracy {acc} below frozen floor"
+
+
+def test_jaccard_verify_distributed_matches_broadcast(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.dedup import (verify_pairs_jaccard,
+                                      verify_pairs_jaccard_distributed)
+    a = "shared prefix of reasonable length for shingling purposes " * 4
+    docs = rd.from_items([
+        {"doc_id": 1, "text": a},
+        {"doc_id": 2, "text": a + "tail"},
+        {"doc_id": 3, "text": "unrelated words here entirely different"},
+        {"doc_id": 4, "text": a + " extra shared suffix"},
+    ])
+    pairs = rd.from_items([{"id_a": 1, "id_b": 2}, {"id_a": 1, "id_b": 3},
+                           {"id_a": 2, "id_b": 4}])
+    bc = verify_pairs_jaccard(pairs, docs, threshold=0.8).to_pandas()
+    dist = verify_pairs_jaccard_distributed(pairs, docs,
+                                            threshold=0.8).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]]
+                                .values.tolist()))
+    assert key(bc) == key(dist)
+    assert (1, 2) in {(r.id_a, r.id_b) for r in bc.itertuples()}
