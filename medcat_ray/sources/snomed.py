@@ -228,3 +228,29 @@ def get_direct_refset_mapping(refset_dict: Dict[str, list]
                          reverse=True)
         out[cui] = [e["code"] for e in ordered]
     return out
+
+
+def pt2ch_map(relationship_path: str,
+              isa_code: str = "116680003") -> Dict[str, List[str]]:
+    """Parent→children map over active IS-A rows (the structure the
+    reference stores as ``cdb.addl_info['pt2ch']`` and walks with
+    ``get_all_children``, preprocess_snomed.py:17-40).  In RF2 an IS-A row
+    means sourceId IS-A destinationId, so parent = destinationId — exactly
+    :func:`relationship_map` for the IS-A type."""
+    return relationship_map(relationship_path, isa_code)
+
+
+def get_all_children(sctid: str, pt2ch: Dict[str, List[str]]) -> List[str]:
+    """Transitive closure of one concept's descendants (reference
+    ``get_all_children``, preprocess_snomed.py:17-40: iterative stack walk,
+    result includes the root, returned sorted-unique here for
+    determinism)."""
+    seen = set()
+    stack = [sctid]
+    while stack:
+        cur = stack.pop()
+        if cur in seen:
+            continue
+        seen.add(cur)
+        stack.extend(pt2ch.get(cur, []))
+    return sorted(seen)

@@ -98,3 +98,41 @@ def test_transformers_ner_stub(ray_session):
     assert out.loc["u1", "n_ents"] == 1
     assert out.loc["u1", "ents"][0]["cui"] == "PII-NAME"
     assert out.loc["u2", "n_ents"] == 0
+
+
+def test_make_mc_train_test_count_balanced():
+    """Reference make_mc_train_test semantics: frequent CUIs capped at
+    max_test_fraction of their occurrences in test; overall test share
+    approaches test_size; deterministic under the fixed seed."""
+    from medcat_ray.ops.split import make_mc_train_test
+
+    docs = []
+    # 60 docs with the frequent CUI (2 anns each), 20 with a rare CUI
+    for i in range(60):
+        docs.append({"id": f"d{i}", "annotations": [
+            {"cui": "C_FREQ", "start": 0}, {"cui": "C_FREQ", "start": 5}]})
+    for i in range(20):
+        docs.append({"id": f"r{i}", "annotations": [
+            {"cui": f"C_RARE{i % 7}", "start": 0}]})
+    data = {"projects": [{"name": "p1", "documents": docs}]}
+
+    train, test, test_anns, total_anns = make_mc_train_test(
+        data, test_size=0.2, min_test_count=10, max_test_fraction=0.3)
+    assert total_anns == 140
+    n_train = len(train["projects"][0]["documents"])
+    n_test = len(test["projects"][0]["documents"])
+    assert n_train + n_test == 80
+    # test share stops around test_size
+    assert 0 < test_anns <= 0.35 * total_anns
+    # frequent-CUI cap: <= max_test_fraction of its 120 occurrences + one
+    # overshooting doc (the cap is checked before adding a 2-ann doc)
+    freq_in_test = sum(
+        1 for d in test["projects"][0]["documents"]
+        for a in d["annotations"] if a["cui"] == "C_FREQ")
+    assert freq_in_test <= 0.3 * 120 + 2
+    # deterministic
+    train2, test2, ta2, _ = make_mc_train_test(
+        data, test_size=0.2, min_test_count=10, max_test_fraction=0.3)
+    assert ta2 == test_anns
+    assert [d["id"] for d in test2["projects"][0]["documents"]] == \
+        [d["id"] for d in test["projects"][0]["documents"]]

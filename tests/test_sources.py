@@ -234,3 +234,24 @@ def test_mrhier_pt2ch(ray_session, tmp_path):
     pt2ch = mrhier_pt2ch(str(tmp_path / "MRCONSO.RRF"),
                          str(tmp_path / "MRHIER.RRF"))
     assert pt2ch == {"C1": ["C2", "C3"]}
+
+
+def test_pt2ch_and_children(ray_session, tmp_path):
+    from medcat_ray.sources.snomed import get_all_children, pt2ch_map
+    hdr = ("id\teffectiveTime\tactive\tmoduleId\tsourceId\tdestinationId\t"
+           "relationshipGroup\ttypeId\tcharacteristicTypeId\tmodifierId")
+    # A <- B, A <- C, C <- D (IS-A child pointing at parent), plus one
+    # inactive row and one non-IS-A row that must be ignored
+    rows = [hdr,
+            "r1\t20230101\t1\tm\tB\tA\t0\t116680003\tc\tmod",
+            "r2\t20230101\t1\tm\tC\tA\t0\t116680003\tc\tmod",
+            "r3\t20230101\t1\tm\tD\tC\t0\t116680003\tc\tmod",
+            "r4\t20230101\t0\tm\tE\tA\t0\t116680003\tc\tmod",   # inactive
+            "r5\t20230101\t1\tm\tF\tA\t0\t363698007\tc\tmod"]   # not IS-A
+    p = tmp_path / "rels.txt"
+    p.write_text("\n".join(rows) + "\n")
+    m = pt2ch_map(str(p))
+    assert sorted(m["A"]) == ["B", "C"] and m["C"] == ["D"]
+    assert "E" not in m.get("A", []) and "F" not in m.get("A", [])
+    assert get_all_children("A", m) == ["A", "B", "C", "D"]
+    assert get_all_children("C", m) == ["C", "D"]
