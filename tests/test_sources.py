@@ -255,3 +255,49 @@ def test_pt2ch_and_children(ray_session, tmp_path):
     assert "E" not in m.get("A", []) and "F" not in m.get("A", [])
     assert get_all_children("A", m) == ["A", "B", "C", "D"]
     assert get_all_children("C", m) == ["C", "D"]
+
+
+def test_pubtator_medmentions_conversions(ray_session, tmp_path):
+    from medcat_ray.sources.medmentions import (pubtator_concept_rows,
+                                                pubtator_to_mct,
+                                                pubtator_to_text,
+                                                read_pubtator_documents)
+    raw = (
+        "100|t|Glioma study\n"
+        "100|a|Gliomas arise from glial cells.\n"
+        "100\t0\t6\tGlioma\tT191\tC0017638\n"
+        "100\t13\t20\tGliomas\tT191,T047\tC0017638\n"
+        "\n"
+        "200|t|Second doc\n"
+        "200|a|About seizures only.\n"
+        "200\t17\t25\tseizures\tT033\tC0036572\n"
+        "\n")
+    p = tmp_path / "corpus.pubtator"
+    p.write_text(raw)
+
+    docs = read_pubtator_documents(str(p)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(docs["doc_id"]) == ["100", "200"]
+    # reference concatenation: title + " " + abstract
+    assert docs.loc[0, "text"] == "Glioma study Gliomas arise from glial cells."
+    assert docs.loc[0, "annotations"][1]["type_id"] == "T191|T047"
+
+    rows = pubtator_concept_rows(str(p)).to_pandas() \
+        .sort_values(["cui", "name"]).reset_index(drop=True)
+    assert set(rows["cui"]) == {"C0017638", "C0036572"}
+    assert (rows["name_status"] == "A").all()
+    assert len(rows) == 3  # (cui,type,name) distinct
+
+    out_txt = tmp_path / "pure.txt"
+    pubtator_to_text(str(p), str(out_txt))
+    lines = out_txt.read_text().splitlines()
+    assert lines[0].rstrip() == "Glioma study Gliomas arise from glial cells."
+
+    mct = pubtator_to_mct(str(p), str(tmp_path / "mct.json"))
+    assert mct["projects"][0]["name"] == "medmentions"
+    docs_mct = mct["projects"][0]["documents"]
+    assert len(docs_mct) == 2
+    ann = docs_mct[0]["annotations"][0]
+    assert (ann["start"], ann["end"], ann["cui"]) == (0, 6, "C0017638")
+    # offsets index into the concatenated text exactly
+    assert docs_mct[0]["text"][ann["start"]:ann["end"]] == "Glioma"
