@@ -337,6 +337,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   os.path.join(d, "MRSTY.RRF")).to_pandas()
         return df.sort_values("cui").reset_index(drop=True)
 
+    def vocab_word_counts(sf_dir):
+        """Distributed vocab builder word counts (SQL-checked: the docs
+        corpus is single-space lowercase words, so tokenization ==
+        string_split)."""
+        import ray.data as rd
+        from medcat_ray.pipelines.vocab_builder import count_words
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = count_words(ds).to_pandas()
+        return out.sort_values("word").reset_index(drop=True)
+
+    def snomed_isa_edges(sf_dir):
+        """pt2ch over the derived RF2 fixture, flattened to edges."""
+        import pandas as pd
+        from medcat_ray.sources.snomed import pt2ch_map
+        path = os.path.join(_rf2_dir(sf_dir), "relationships.txt")
+        m = pt2ch_map(path)
+        rows = [(p, c) for p, cs in m.items() for c in cs]
+        return pd.DataFrame(rows, columns=["parent", "child"]) \
+            .sort_values(["parent", "child"]).reset_index(drop=True)
+
     def doc_split_query(sf_dir):
         import ray.data as rd
         from medcat_ray.ops.split import add_split
@@ -358,7 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_prf": eval_prf,
         # ontology sources (SQL-checked over derived release files)
         "snomed_relationships": snomed_rels_query,
+        "snomed_isa_edges": snomed_isa_edges,
         "umls_concepts": umls_concepts_query,
+        "vocab_word_counts": vocab_word_counts,
         # relational operators (SQL-checked)
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -452,6 +475,16 @@ SELECT 'C' || s_suppkey AS cui, s_name AS name,
        'SNOMEDCT_US' AS ontologies, 'Y' AS name_status,
        'T' || lpad(CAST(s_suppkey % 5 AS VARCHAR), 3, '0') AS type_ids
 FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 5 <> 0
+""",
+        "snomed_isa_edges": """
+SELECT CAST(p_partkey % 97 AS VARCHAR) AS parent,
+       CAST(p_partkey AS VARCHAR) AS child
+FROM part WHERE p_partkey % 3 <> 0 AND p_partkey % 2 = 0
+""",
+        "vocab_word_counts": """
+SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
