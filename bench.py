@@ -341,12 +341,18 @@ def run_scaling() -> dict:
 
 
 def run_scaling_weak() -> dict:
-    """Weak-scaling evidence: input grows with the worker count (10k docs
-    at 8 CPUs vs 40k at 32), so PERFECT scaling holds wall time constant —
-    efficiency = t_low/t_high (can exceed raw strong-scaling efficiency
-    because per-leg fixed costs stay proportional)."""
-    pages_lo = build_bench_pages(SF_DIR, rep=2, text_rep=16)
-    pages_hi = build_bench_pages(SF_DIR, rep=8, text_rep=16)
+    """Weak-scaling evidence: input grows with the worker count (20k docs
+    at 4 CPUs vs 80k at 16), so PERFECT scaling holds wall time constant —
+    efficiency = t_low/t_high.  Same 4→16 pair rationale as
+    :func:`run_scaling` (full per-core clocks below ~12 busy workers);
+    legs sized so fixed per-leg costs are amortized (SCALE_REP docs at
+    hi, a quarter of that at lo)."""
+    rep_hi = int(os.environ.get("SCALE_REP", "16"))
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", "16"))
+    pages_lo = build_bench_pages(SF_DIR, rep=max(1, rep_hi // 4),
+                                 text_rep=16)
+    pages_hi = build_bench_pages(SF_DIR, rep=rep_hi, text_rep=16)
 
     def leg(ncpu: int, pages: str) -> float:
         env = dict(os.environ, NC=str(ncpu), PAGES=pages, PYTHONPATH=REPO)
@@ -356,17 +362,26 @@ def run_scaling_weak() -> dict:
         return float([l for l in out.splitlines()
                       if l.startswith("TIMED")][0].split()[1])
 
+    import glob as _glob
+    import pyarrow.parquet as pq
+
+    def ndocs(pages):
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in _glob.glob(os.path.join(pages, "*.parquet")))
+
     lo_times, hi_times = [], []
-    for _ in range(2):
-        lo_times.append(leg(8, pages_lo))
-        hi_times.append(leg(32, pages_hi))
+    for _ in range(3):
+        lo_times.append(leg(lo, pages_lo))
+        hi_times.append(leg(hi, pages_hi))
     t_lo, t_hi = min(lo_times), min(hi_times)
     return {
         "metric": "weak_scaling_efficiency",
-        "cpus_low": 8, "cpus_high": 32,
-        "docs_low": 10000, "docs_high": 40000,
+        "cpus_low": lo, "cpus_high": hi,
+        "docs_low": ndocs(pages_lo), "docs_high": ndocs(pages_hi),
         "sec_low": round(t_lo, 3), "sec_high": round(t_hi, 3),
         "weak_scaling_efficiency": round(t_lo / t_hi, 3),
+        "leg_samples_low": [round(t, 2) for t in lo_times],
+        "leg_samples_high": [round(t, 2) for t in hi_times],
         "sf": SF_DIR,
     }
 

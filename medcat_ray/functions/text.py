@@ -80,6 +80,16 @@ _WORD_RE = re.compile(r"[A-Za-z0-9@]+")
 _WORD_RE_DIACRITICS = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+")
 
 
+# One C-level scan for the whole tokenization (measured ~45% of annotate
+# wall when this was a Python while-loop): word runs | any non-word
+# non-space char (single-char token; '\n'/'\t' are NOT excluded — only the
+# literal space is) | a space PRECEDED by a space (the 2nd..kth spaces of a
+# run tokenize, the first separates — spaCy whitespace semantics above).
+_SCAN_RE = re.compile(r"[A-Za-z0-9@]+|[^A-Za-z0-9@ ]|(?<= ) ")
+_SCAN_RE_DIACRITICS = re.compile(
+    r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+|[^A-Za-zÀ-ÖØ-öø-ÿ0-9@ ]|(?<= ) ")
+
+
 def tokenize(text: str, diacritics: bool = False) -> List[Token]:
     """Split ``text`` into tokens with char offsets (reference M2).
 
@@ -87,32 +97,9 @@ def tokenize(text: str, diacritics: bool = False) -> List[Token]:
     is a single-char token; in a run of k spaces the first is a separator and
     the remaining k-1 are single-space tokens (spaCy whitespace-token
     semantics — see module comment)."""
-    word_re = _WORD_RE_DIACRITICS if diacritics else _WORD_RE
-    tokens: List[Token] = []
-    i = 0
-    n = len(text)
-    idx = 0
-    while i < n:
-        m = word_re.match(text, i)
-        if m is not None:
-            tokens.append(Token(m.group(0), m.start(), m.end(), idx))
-            idx += 1
-            i = m.end()
-            continue
-        c = text[i]
-        if c == " ":
-            j = i + 1
-            while j < n and text[j] == " ":
-                j += 1
-            for k in range(i + 1, j):  # first space separates, extras tokenize
-                tokens.append(Token(" ", k, k + 1, idx))
-                idx += 1
-            i = j
-        else:
-            tokens.append(Token(c, i, i + 1, idx))
-            idx += 1
-            i += 1
-    return tokens
+    scan = _SCAN_RE_DIACRITICS if diacritics else _SCAN_RE
+    return [Token(m.group(0), m.start(), m.end(), idx)
+            for idx, m in enumerate(scan.finditer(text))]
 
 
 # ---------------------------------------------------------------------------
