@@ -64,6 +64,12 @@ class DocAnnotator:
             self._cui_unit_vectors[cui] = {
                 t: _unitvec(np.asarray(v, dtype=np.float64))
                 for t, v in ctxs.items()}
+        # per-CUI projection metadata (sorted type ids + pretty name),
+        # computed once per annotator instead of per entity (~350 ents/doc
+        # on dense pages made the per-ent sorted() a profile hotspot);
+        # invalidated when cdb.mutation_count moves (trainer add_concept)
+        self._cui_proj_meta: Dict[str, tuple] = {}
+        self._cui_proj_version = getattr(cdb, "mutation_count", 0)
 
     # -- public API -------------------------------------------------------
 
@@ -83,7 +89,9 @@ class DocAnnotator:
                               self.stopwords, self.norm_cache)
         raw_ents = self._ner(tokens)
         linked = self._link(raw_ents, tokens)
-        linked_sorted = sorted(linked, key=lambda e: len(text[e.start:e.end]),
+        # span char length == end - start (offsets index into text); the
+        # reference's len(text[start:end]) sliced a substring per entity
+        linked_sorted = sorted(linked, key=lambda e: e.end - e.start,
                                reverse=True)
         main = self._resolve_overlaps(linked, text)
         return {"entities": self._project(main, text),
@@ -259,7 +267,7 @@ class DocAnnotator:
     def _resolve_overlaps(self, ents: List[Entity], text: str) -> List[Entity]:
         """Longest-span-first token-claim sweep (reference create_main_ann,
         postprocessing.py:37-62; stable sort by raw span length desc)."""
-        ordered = sorted(ents, key=lambda e: len(text[e.start:e.end]),
+        ordered = sorted(ents, key=lambda e: e.end - e.start,
                          reverse=True)
         claimed: Set[int] = set()
         main: List[Entity] = []
@@ -276,11 +284,21 @@ class DocAnnotator:
     def _project(self, ents: List[Entity], text: str) -> List[dict]:
         cdb = self.cdb
         cui2group = cdb.addl_info.get("cui2group", {})
+        if getattr(cdb, "mutation_count", 0) != self._cui_proj_version:
+            # trainer paths mutate the CDB under a live annotator
+            self._cui_proj_meta.clear()
+            self._cui_proj_version = getattr(cdb, "mutation_count", 0)
+        meta_cache = self._cui_proj_meta
         out = []
         for ent in sorted(ents, key=lambda e: e.start):
             cui = ent.cui
             if cui2group:
                 cui = cui2group.get(cui, cui)  # M12, postprocessing.py:12-14
+            meta = meta_cache.get(cui)
+            if meta is None:
+                meta = meta_cache[cui] = (
+                    sorted(cdb.cui2type_ids.get(cui, set())),
+                    cdb.cui2preferred_name.get(cui, ""))
             out.append({
                 "ent_id": ent.ent_id,
                 "cui": cui,
@@ -289,8 +307,8 @@ class DocAnnotator:
                 "source_value": text[ent.start:ent.end],
                 "detected_name": ent.detected_name,
                 "context_similarity": float(ent.context_similarity),
-                "type_ids": sorted(cdb.cui2type_ids.get(cui, set())),
-                "pretty_name": cdb.cui2preferred_name.get(cui, ""),
+                "type_ids": meta[0],
+                "pretty_name": meta[1],
             })
         return out
 

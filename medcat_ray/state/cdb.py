@@ -94,6 +94,8 @@ class CDB:
         self.name2count_train: Dict[str, int] = {}
         self.name_isupper: Dict[str, bool] = {}
         self.vocab: Dict[str, int] = {}          # words in CDB names (spell check)
+        self.mutation_count = 0   # bumped on add_concept; invalidates
+        #                           annotator-side projection caches
         self.addl_info: Dict[str, dict] = {
             "cui2icd10": {}, "cui2opcs4": {}, "cui2ontologies": {},
             "cui2original_names": {}, "cui2description": {},
@@ -112,6 +114,7 @@ class CDB:
         """Reference ``CDB._add_concept`` (/root/reference/medcat/cdb.py:250-386)."""
         ontologies = ontologies or set()
         type_ids = type_ids or set()
+        self.mutation_count += 1
         name_status = name_status.upper()
         if name_status not in ("P", "A", "N"):
             name_status = "A"
