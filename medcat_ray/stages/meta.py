@@ -8,12 +8,18 @@ entity (/root/reference/medcat/config_meta_cat.py:55-57) and writes one
 prediction per entity into ``ent._.meta_anns[category] = {value, confidence,
 name}`` (/root/reference/medcat/meta_cat.py:620-634).
 
-The BiLSTM/BERT scorer itself is a torch model this container cannot run, so
-the scorer here is a deterministic trigger-lexicon model over the same
-context window (clearly a stand-in — swap ``MetaRule.score`` for a real
-model actor when torch is available).  Everything Ray-side is real: a
-separate actor-pool ``map_batches`` stage over annotated rows, entity-window
-batch unit, ``meta_anns`` appended to each entity struct.
+The BiLSTM/BERT scorer itself is a torch model this container cannot run.
+Two scorers implement the ``score(left, right)`` seam:
+
+* :class:`MetaRule` — deterministic trigger lexicon (SQL-checkable; used
+  by the `kg_meta` oracle);
+* :class:`medcat_ray.stages.meta_model.LearnedMetaModel` — a REAL
+  trainable model (hashed-window logistic regression, trained from MCT
+  labels) that plugs into ``MetaAnnotateStage(rules=[model])`` unchanged.
+
+Everything Ray-side is real: a separate actor-pool ``map_batches`` stage
+over annotated rows, entity-window batch unit, ``meta_anns`` appended to
+each entity struct.
 """
 
 from __future__ import annotations
