@@ -149,6 +149,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return simhash_candidates(ds)
 
+    def jaccard_verified_dups(sf_dir):
+        """Composed dedup pipeline: MinHash-LSH candidate clusters →
+        (member, rep) pairs → exact n-gram-Jaccard verification through
+        the join-based distributed path (rows-only: LSH banding is
+        probabilistic)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.dedup import (minhash_dedup_clusters,
+                                          verify_pairs_jaccard_distributed)
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        clusters = minhash_dedup_clusters(docs, concurrency=2)
+
+        def to_pairs(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            nonrep = batch.filter(pc.not_equal(batch["doc_id"],
+                                               batch["rep"]))
+            return pa.table({"id_a": nonrep["rep"],
+                             "id_b": nonrep["doc_id"]})
+
+        pairs = clusters.map_batches(to_pairs, batch_format="pyarrow")
+        out = verify_pairs_jaccard_distributed(
+            pairs, docs, threshold=0.5).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def embedding_near_dup_pairs(sf_dir):
         """Near-dup pairs over embeddings AUGMENTED with deterministic
         planted duplicates (vec_id+1000000 = 1.5× the first 20 vectors —
@@ -400,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_candidates_docs": simhash_candidates_docs,
+        "jaccard_verified_dups": jaccard_verified_dups,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_ivf_top10": knn_ivf_top10,
         "langid_docs": langid_docs,

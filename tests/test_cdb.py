@@ -209,3 +209,30 @@ def test_engine_config_roundtrip():
     back = EngineConfig.from_dict(d)
     assert back == cfg
     assert EngineConfig.from_dict(DEFAULT_CONFIG.to_dict()) == DEFAULT_CONFIG
+
+
+def test_captured_state_cdb_restores_training_mutations(tmp_path):
+    """Reference cdb_state semantics: training inside the context leaves
+    no trace after exit (both memory and disk capture paths)."""
+    import io, csv
+    from medcat_ray.state.cdb import CDB
+    from medcat_ray.state.cdb_state import captured_state_cdb
+    from medcat_ray.config import EngineConfig
+
+    csv_text = ("cui,name,ontologies,name_status,type_ids,description\n"
+                "C1,Alpha,MSH,P,T1,x\nC2,Beta,MSH,P,T1,y\n")
+    cdb = CDB(EngineConfig())
+    cdb.add_concept_rows(csv.DictReader(io.StringIO(csv_text)))
+    before_hash = cdb.content_hash()
+
+    for disk in (False, True):
+        with captured_state_cdb(cdb, save_state_to_disk=disk):
+            cdb.cui2count_train["C1"] = 99
+            import numpy as np
+            cdb.cui2context_vectors["C1"] = {"long": np.ones(4)}
+            cdb.cui2names["C1"].add("alphanew")
+            assert cdb.cui2count_train.get("C1") == 99
+        assert cdb.cui2count_train.get("C1") is None
+        assert "C1" not in cdb.cui2context_vectors
+        assert "alphanew" not in cdb.cui2names["C1"]
+        assert cdb.content_hash() == before_hash
