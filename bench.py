@@ -123,8 +123,10 @@ def run_bench() -> dict:
     run_headline()
 
     # --- headline: pages → extract → annotate → triple counts ------------
-    # min over BENCH_TIMED_RUNS runs: hypervisor steal swings single runs.
-    timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "1"))
+    # min over BENCH_TIMED_RUNS runs: hypervisor steal swings single runs
+    # 1.5-2× (observed 11.7s vs 20s same code) — default 3 so the recorded
+    # number reflects steady state, not the host's phase.
+    timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "3"))
     headline_times = []
     for _ in range(timed_runs):
         t0 = time.perf_counter()
@@ -266,7 +268,9 @@ def run():
 
 run()                                    # untimed warm pass
 times = []
-for _ in range(int(os.environ.get("TIMED_RUNS", "2"))):
+# default 1 timed run per leg: the 3 ALTERNATED leg pairs already sample
+# phases, and per-leg minima are taken across them (keeps --scaling ~20min)
+for _ in range(int(os.environ.get("TIMED_RUNS", "1"))):
     t0 = time.perf_counter()
     run()
     times.append(time.perf_counter() - t0)
