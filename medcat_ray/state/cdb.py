@@ -475,3 +475,13 @@ def _jsonable(d):
     if isinstance(d, (set, frozenset)):
         return sorted(d)
     return d
+
+
+def filter_cdb_by_icd10(cdb: "CDB") -> "CDB":
+    """Subset a CDB to concepts carrying an ICD-10 mapping (reference
+    ``helpers.filter_cdb_by_icd10``, /root/reference/medcat/utils/
+    helpers.py:218-231 — the reference reads ``cui2info``; our addl_info
+    key is ``cui2icd10``, same content)."""
+    icd10 = cdb.addl_info.get("cui2icd10", {})
+    cdb.filter_by_cui([cui for cui in cdb.cui2names if cui in icd10])
+    return cdb

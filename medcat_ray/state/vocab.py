@@ -147,3 +147,34 @@ class Vocab:
             vocab.vectors = np.array([v for _, v in with_vec], dtype=np.float32)
             vocab.word2idx = {w: i for i, (w, _) in enumerate(with_vec)}
         return vocab
+
+
+def calc_pca_matrix(vocab: "Vocab", target_size: int) -> np.ndarray:
+    """PCA transformation matrix over the vocab's word vectors (reference
+    ``vocab_utils.calc_matrix``, /root/reference/medcat/utils/
+    vocab_utils.py:12-41): mean-center, covariance, eigh, top
+    ``target_size`` eigenvectors (rows of the returned matrix)."""
+    V = vocab.vectors
+    if V.size == 0:
+        raise ValueError("vocab has no vectors")
+    centered = V.astype(np.float64) - V.mean(axis=0)
+    cov = np.cov(centered, rowvar=False)
+    eigenvalues, eigenvectors = np.linalg.eigh(cov)
+    order = np.argsort(eigenvalues)[::-1]
+    return eigenvectors[:, order][:, :target_size].T
+
+
+def convert_vec(cur: np.ndarray, matrix: np.ndarray,
+                target_dtype=np.float32) -> np.ndarray:
+    """Project one vector (reference ``vocab_utils.convert_vec``,
+    vocab_utils.py:44-59 — uniform float32 output)."""
+    return (matrix @ cur).astype(target_dtype)
+
+
+def compress_vectors(vocab: "Vocab", target_size: int) -> "Vocab":
+    """Shrink ALL word vectors to ``target_size`` dims in place via PCA
+    (the memory-optimiser path for 300-dim vocabs at 4M+ concepts)."""
+    m = calc_pca_matrix(vocab, target_size)
+    vocab.vectors = (vocab.vectors.astype(np.float64) @ m.T) \
+        .astype(np.float32)
+    return vocab

@@ -236,3 +236,38 @@ def test_captured_state_cdb_restores_training_mutations(tmp_path):
         assert "C1" not in cdb.cui2context_vectors
         assert "alphanew" not in cdb.cui2names["C1"]
         assert cdb.content_hash() == before_hash
+
+
+def test_pca_vector_compression_and_icd10_filter():
+    import numpy as np
+    from medcat_ray.state.vocab import (Vocab, calc_pca_matrix,
+                                        compress_vectors, convert_vec)
+    rng = np.random.default_rng(2)
+    vocab = Vocab()
+    # vectors with variance concentrated in the first 3 dims
+    scale = np.array([10.0, 5.0, 2.0] + [0.01] * 13)
+    for i in range(50):
+        vocab.add_word(f"w{i}", cnt=5, vec=rng.normal(size=16) * scale)
+    m = calc_pca_matrix(vocab, 3)
+    assert m.shape == (3, 16)
+    v0 = vocab.vec("w0").astype(np.float64).copy()
+    proj = convert_vec(v0, m)
+    assert proj.shape == (3,) and proj.dtype == np.float32
+    compress_vectors(vocab, 3)
+    assert vocab.vectors.shape == (50, 3)
+    assert np.allclose(vocab.vec("w0"), proj, atol=1e-5)
+    # dominant-variance directions preserved: projected variance ~ total
+    var_kept = vocab.vectors.astype(np.float64).var(axis=0).sum()
+    assert var_kept > 0.95 * (scale ** 2).sum() * 0.8
+
+    import io, csv
+    from medcat_ray.config import EngineConfig
+    from medcat_ray.state.cdb import CDB, filter_cdb_by_icd10
+    csv_text = ("cui,name,ontologies,name_status,type_ids,description\n"
+                "C1,Alpha,MSH,P,T1,x\nC2,Beta,MSH,P,T1,y\nC3,Gama,MSH,P,T1,z\n")
+    cdb = CDB(EngineConfig())
+    cdb.add_concept_rows(csv.DictReader(io.StringIO(csv_text)))
+    cdb.addl_info["cui2icd10"] = {"C1": ["A01"], "C3": ["B02"]}
+    filter_cdb_by_icd10(cdb)
+    assert set(cdb.cui2names) == {"C1", "C3"}
+    assert "beta" not in cdb.name2cuis
