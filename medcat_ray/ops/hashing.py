@@ -60,8 +60,9 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     n = len(codes)
     if n < k:
         h = np.uint64(0)
-        for c in codes:
-            h = h * _POLY_BASE + c
+        with np.errstate(over="ignore"):   # deliberate mod-2^64 wraparound
+            for c in codes:
+                h = h * _POLY_BASE + c
         return np.unique(_mix64(np.array([h], dtype=np.uint64)))
     m = n - k + 1
     with np.errstate(over="ignore"):
