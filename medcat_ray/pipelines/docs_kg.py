@@ -170,6 +170,44 @@ def hard_entities_oracle_sql(max_skip: int = 2) -> str:
     (source_value read straight from the document text so gapped spans
     include the skipped words).  Singles: concept tokens not claimed by a
     bigram; ambiguity resolved to the frozen winners."""
+    return _hard_cte(max_skip) + """
+SELECT doc_id, start_pos, end_pos, cui, source_value FROM hard_ents
+"""
+
+
+def kg_triple_counts_hard(sf_dir: str, window: int = 300) -> pd.DataFrame:
+    """Deduped triple counts over the HARD concept space — the T3 pair
+    window runs over MULTI-TOKEN entity spans (subj/obj offsets come from
+    greedy-extended, possibly gapped mentions), end-to-end SQL-checked."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb_hard()
+    ann = kg.annotate(docs, (cdb, vocab), HARD_CONFIG,
+                      concurrency=2, batch_size=128, key_column="doc_id")
+    out = kg.triple_counts(ann, window=window, key_column="doc_id",
+                           mode="tree").to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
+
+
+def hard_triple_counts_oracle_sql(window: int = 300,
+                                  max_skip: int = 2) -> str:
+    return _hard_cte(max_skip) + f"""
+SELECT s.cui AS subj_cui, 'co_occurs_with' AS pred, o.cui AS obj_cui,
+       count(*) AS count
+FROM hard_ents s JOIN hard_ents o
+  ON s.doc_id = o.doc_id
+ AND o.start_pos > s.start_pos
+ AND o.start_pos - s.start_pos <= {window}
+ AND s.source_value <> o.source_value
+GROUP BY s.cui, o.cui
+"""
+
+
+def _hard_cte(max_skip: int = 2) -> str:
+    """WITH-clause producing ``hard_ents(doc_id, start_pos, end_pos, cui,
+    source_value)`` — the shared oracle entity space for the hard
+    queries."""
     multi_rows = ", ".join(
         f"('{w1}', '{w2}', '{cui}')"
         for (w1, w2), cui in sorted(DOC_MULTI.items()))
@@ -212,13 +250,13 @@ WITH toks AS (
   WHERE NOT EXISTS (
     SELECT 1 FROM multi m
     WHERE m.doc_id = p.doc_id AND p.i IN (m.i1, m.i2))
-)
-SELECT doc_id, start_pos, end_pos, cui,
-       substr(text, start_pos + 1, end_pos - start_pos) AS source_value
-FROM multi
-UNION ALL
-SELECT doc_id, start_pos, end_pos, cui, source_value FROM singles
-"""
+), hard_ents AS (
+  SELECT doc_id, start_pos, end_pos, cui,
+         substr(text, start_pos + 1, end_pos - start_pos) AS source_value
+  FROM multi
+  UNION ALL
+  SELECT doc_id, start_pos, end_pos, cui, source_value FROM singles
+)"""
 
 
 def _annotated(sf_dir: str, concurrency=2, batch_size: int = 128):
