@@ -70,6 +70,11 @@ class DocAnnotator:
         # invalidated when cdb.mutation_count moves (trainer add_concept)
         self._cui_proj_meta: Dict[str, tuple] = {}
         self._cui_proj_version = getattr(cdb, "mutation_count", 0)
+        # acceptance-rule constants hoisted out of the per-candidate path
+        self._check_upper = self.config.check_upper_case_names
+        self._min_name_len = self.config.min_name_len
+        self._upper_limit = self.config.upper_case_limit_len
+        self._name_isupper_get = cdb.name_isupper.get
 
     # -- public API -------------------------------------------------------
 
@@ -119,7 +124,9 @@ class DocAnnotator:
             name = ""
             nv_in_names = None
             nv_in_snames = None
-            for name_version in (tkn.norm, tkn.lower):
+            versions = (tkn.norm,) if tkn.norm == tkn.lower \
+                else (tkn.norm, tkn.lower)  # skip the duplicate lookup
+            for name_version in versions:
                 if nv_in_snames is None and name_version in snames:
                     nv_in_snames = name_version
                 if nv_in_names is None and name_version in name2cuis:
@@ -139,7 +146,9 @@ class DocAnnotator:
                 tkns.append(tkn)
                 name_changed = False
                 name_reverse = None
-                for name_version in (tkn.norm, tkn.lower):
+                versions = (tkn.norm,) if tkn.norm == tkn.lower \
+                    else (tkn.norm, tkn.lower)
+                for name_version in versions:
                     _name = name + sep + name_version
                     if _name in snames:
                         name = _name
@@ -162,17 +171,18 @@ class DocAnnotator:
     def _maybe_annotate(self, name: str, tkns: List[Token],
                         ents: List[Entity]) -> None:
         """Acceptance rules (reference maybe_annotate_name,
-        vocab_based_annotator.py:13-65)."""
-        cfg = self.config
-        cdb = self.cdb
-        if cfg.check_upper_case_names and cdb.name_isupper.get(name, False):
+        vocab_based_annotator.py:13-65).  Config constants hoisted to
+        instance attributes (this runs once per CANDIDATE, ~350/doc on
+        dense pages — attribute chains were a profile hotspot)."""
+        if self._check_upper and self._name_isupper_get(name, False):
             if not all(t.is_upper for t in tkns):
                 return
-        if len(name) < cfg.min_name_len:
+        if len(name) < self._min_name_len:
             return
-        if len(name) >= cfg.upper_case_limit_len or \
+        if len(name) >= self._upper_limit or \
                 (len(tkns) == 1 and tkns[0].is_upper):
-            ents.append(Entity(list(tkns), name, cdb.name2cuis[name], len(ents)))
+            ents.append(Entity(list(tkns), name,
+                               self.cdb.name2cuis[name], len(ents)))
 
     # -- Linker (M8-M10) ---------------------------------------------------
 
