@@ -228,6 +228,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return knn_lsh(rd.read_parquet(path), [0], qv[None, :], k=10,
                        concurrency=2)
 
+    def knn_ivf_indexed_top10(sf_dir):
+        """IVF with a write-time partitioned index: build (cached) then
+        query with read-time cell pruning (rows-only: ANN recall < 1)."""
+        import hashlib
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from medcat_ray.ops.similarity import (build_ivf_index,
+                                               knn_ivf_indexed)
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        tag = hashlib.sha1(f"ivfidx:{sf_dir}".encode()).hexdigest()[:8]
+        idx_dir = os.path.join(tempfile.gettempdir(),
+                               f"medcat_ray_ivfidx_{tag}")
+        if not os.path.exists(os.path.join(idx_dir, "centroids.npz")):
+            import shutil
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            build_ivf_index(rd.read_parquet(path), idx_dir, n_cells=16)
+        q = pq.read_table(path).to_pandas()
+        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+        return knn_ivf_indexed(idx_dir, [0], qv[None, :], k=10,
+                               concurrency=2)
+
     def langid_docs(sf_dir):
         import ray.data as rd
         from medcat_ray.ops.textstats import add_langid
@@ -429,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_dups": jaccard_verified_dups,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_ivf_top10": knn_ivf_top10,
+        "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
         "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
         "multimodal_image_stub": multimodal_image_stub,

@@ -179,9 +179,10 @@ def knn_ivf(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
     ``nprobe`` nearest cells.
 
     Scale shape: centroids are broadcast (model-sized); cell assignment and
-    the filtered brute-force scan are one fused ``map_batches`` — at
-    10^12 vectors the cell id would instead be a write-time partition
-    column so probed cells prune at the READ (documented scale path).
+    the filtered brute-force scan are one fused ``map_batches``.  For the
+    10^12-vector path where probed cells must prune at the READ, use
+    :func:`build_ivf_index` + :func:`knn_ivf_indexed` (write-time cell
+    partitioning).
     """
     import ray
 
@@ -236,3 +237,70 @@ def knn_ivf(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
 
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF with a WRITE-TIME partitioned index (the 10^12-vector scale path):
+# cell id becomes a parquet partition column, so probed cells prune at the
+# READ — non-probed cells never leave storage.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(ds: rd.Dataset, index_dir: str, n_cells: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 13, sample_size: int = 2048) -> np.ndarray:
+    """Materialize an IVF index: train the coarse quantizer on a sample,
+    assign every vector's cell in one ``map_batches`` pass, and
+    ``write_parquet(partition_cols=["cell"])`` so each Voronoi cell is its
+    own directory.  Centroids are saved next to the data.  Returns the
+    centroid matrix."""
+    import os
+    import ray
+    import pyarrow.compute as pc  # noqa: F401 (schema stability)
+
+    sample = np.array([r[vec_col] for r in ds.take(sample_size)],
+                      dtype=np.float64)
+    C = train_ivf_centroids(sample, n_cells, seed)
+    C_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cen = ray.get(C_ref)
+        V = _unit(_as_matrix(batch[vec_col]))
+        if V.ndim != 2 or V.shape[0] == 0:
+            return batch.append_column("cell",
+                                       pa.array([], type=pa.int32()))
+        cells = np.argmax(V @ cen.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells, type=pa.int32()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["cell"])
+    np.savez(os.path.join(index_dir, "centroids.npz"), C=C)
+    return C
+
+
+def knn_ivf_indexed(index_dir: str, query_ids, query_matrix, k: int = 10,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    concurrency: int = 4) -> rd.Dataset:
+    """ANN over a :func:`build_ivf_index` directory with READ-TIME cell
+    pruning: only the ``nprobe`` nearest cells' partitions are listed and
+    read — at 10^12 vectors the scan is |probed cells| / n_cells of the
+    corpus, enforced by the storage layout rather than a filter."""
+    import glob
+    import os
+
+    C = np.load(os.path.join(index_dir, "centroids.npz"))["C"]
+    Q = _unit(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted_cells = sorted({int(c) for row in probe for c in row})
+    # expand to the parquet FILES of each probed cell (read_parquet takes
+    # a list of files; non-probed cell directories are never listed)
+    paths = [f for c in wanted_cells
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"cell={c}", "*.parquet")))]
+    if not paths:
+        return rd.from_items([])
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_bruteforce(pruned, query_ids, np.asarray(query_matrix), k,
+                          id_col, vec_col, concurrency)
