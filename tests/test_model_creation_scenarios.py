@@ -150,3 +150,44 @@ def test_uppercase_non_abbreviation(models):
     # non-abbreviation name still links
     assert "CT000007" in _cuis(
         models, "RILUZOLE is a drug used to slow disease progression.")
+
+
+def test_real_text_precision_recall_floor(models):
+    """North-rule evidence on real English text: annotate held-out
+    sentences with the corpus-trained models and score P/R against
+    hand-labeled gold mentions (exact span+CUI match).  The frozen floor
+    is the north rule's >= 0.95."""
+    gold_docs = [
+        ("A glioma can cause a seizure and progressive weakness.",
+         [("glioma", "CT000001"), ("seizure", "CT000003"),
+          ("weakness", "CT000009")]),
+        ("Radiosurgery is an option for a brain glioma in older adults.",
+         [("Radiosurgery", "CT000008"), ("brain glioma", "CT000002")]),
+        ("ALS progresses from weakness to loss of mobility.",
+         [("ALS", "CT000006"), ("weakness", "CT000009")]),
+        ("Riluzole slows ALS but cannot prevent a fall at home.",
+         [("Riluzole", "CT000007"), ("ALS", "CT000006"),
+          ("fall", "CT000004")]),
+        ("After falling twice the patient developed a seizure disorder.",
+         [("falling", "CT000004"), ("seizure", "CT000003")]),
+        ("Sjögren's syndrome often coexists with weakness and fatigue.",
+         [("Sjögren", "CT000005"), ("weakness", "CT000009")]),
+    ]
+    cdb, vocab = models
+    from medcat_ray.core.annotator import DocAnnotator
+    ann = DocAnnotator(cdb, vocab, CFG)
+
+    tp = fp = fn = 0
+    for text, gold in gold_docs:
+        pred = {(e["start"], e["cui"]) for e in ann.annotate(text)}
+        gold_set = set()
+        for surface, cui in gold:
+            start = text.index(surface)
+            gold_set.add((start, cui))
+        tp += len(pred & gold_set)
+        fp += len(pred - gold_set)
+        fn += len(gold_set - pred)
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    assert precision >= 0.95, (precision, tp, fp, fn)
+    assert recall >= 0.95, (recall, tp, fp, fn)
