@@ -26,6 +26,40 @@ from typing import Any
 _PRED = "co_occurs_with"
 
 
+def _source_tag(*paths: str) -> str:
+    """Cache tag from a CONTENT fingerprint (path + size + mtime_ns) of the
+    source files, so a regenerated dataset at the same path never reuses a
+    stale derived artifact."""
+    import hashlib
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
+def _cached_build(final_dir: str, build_fn, done_file: str) -> str:
+    """Build a derived artifact dir once: build into a unique temp dir,
+    atomically rename into place (a concurrent winner's copy is kept)."""
+    if os.path.exists(os.path.join(final_dir, done_file)):
+        return final_dir
+    import shutil
+    build_dir = f"{final_dir}.build-{os.getpid()}"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    build_fn(build_dir)
+    try:
+        os.rename(build_dir, final_dir)
+    except OSError:
+        # lost the race (or a stale final_dir without its done marker):
+        # replace only if the existing dir is incomplete
+        if os.path.exists(os.path.join(final_dir, done_file)):
+            shutil.rmtree(build_dir, ignore_errors=True)
+        else:
+            shutil.rmtree(final_dir, ignore_errors=True)
+            os.rename(build_dir, final_dir)
+    return final_dir
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -39,13 +73,12 @@ def entry() -> Any:
     from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
 
     sf_dir = "/root/testdata/sf0.001"
-    pages_dir = os.path.join(tempfile.gettempdir(),
-                             "medcat_ray_entry_pages_sf0001")
-    if not os.path.exists(os.path.join(pages_dir, "_DONE")):
-        import shutil
-        shutil.rmtree(pages_dir, ignore_errors=True)
-        pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
-                             pages_dir)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    pages_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"medcat_ray_entry_pages_{_source_tag(docs_path)}")
+    _cached_build(pages_dir, lambda d: pages_from_documents(docs_path, d),
+                  done_file="_DONE")
     cdb, vocab = docs_cdb()
     annotated = kg.annotate_pages(pages_dir, (cdb, vocab), DOCS_CONFIG,
                                   concurrency=2, batch_size=128)
@@ -231,20 +264,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def knn_ivf_indexed_top10(sf_dir):
         """IVF with a write-time partitioned index: build (cached) then
         query with read-time cell pruning (rows-only: ANN recall < 1)."""
-        import hashlib
         import numpy as np
         import pyarrow.parquet as pq
         import ray.data as rd
         from medcat_ray.ops.similarity import (build_ivf_index,
                                                knn_ivf_indexed)
         path = os.path.join(sf_dir, "embeddings.parquet")
-        tag = hashlib.sha1(f"ivfidx:{sf_dir}".encode()).hexdigest()[:8]
-        idx_dir = os.path.join(tempfile.gettempdir(),
-                               f"medcat_ray_ivfidx_{tag}")
-        if not os.path.exists(os.path.join(idx_dir, "centroids.npz")):
-            import shutil
-            shutil.rmtree(idx_dir, ignore_errors=True)
-            build_ivf_index(rd.read_parquet(path), idx_dir, n_cells=16)
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"medcat_ray_ivfidx_{_source_tag(path)}")
+        _cached_build(idx_dir,
+                      lambda d: build_ivf_index(rd.read_parquet(path), d,
+                                                n_cells=16),
+                      done_file="centroids.npz")
         q = pq.read_table(path).to_pandas()
         qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
                       dtype=np.float64)
@@ -290,15 +322,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from medcat_ray.fixtures import pages_from_documents
         from medcat_ray.pipelines import kg
         from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
-        import hashlib
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-        pages_dir = os.path.join(tempfile.gettempdir(),
-                                 f"medcat_ray_pages_{tag}")
-        if not os.path.exists(os.path.join(pages_dir, "_DONE")):
-            import shutil
-            shutil.rmtree(pages_dir, ignore_errors=True)
-            pages_from_documents(os.path.join(sf_dir, "documents.parquet"),
-                                 pages_dir)
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        pages_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"medcat_ray_pages_{_source_tag(docs_path)}")
+        _cached_build(pages_dir,
+                      lambda d: pages_from_documents(docs_path, d),
+                      done_file="_DONE")
         cdb, vocab = docs_cdb()
         ann = kg.annotate_pages(pages_dir, (cdb, vocab), DOCS_CONFIG,
                                 concurrency=2, batch_size=128)

@@ -55,9 +55,13 @@ def main(argv=None) -> int:
 
     from medcat_ray.pipelines import kg
     from medcat_ray.pipelines.runner import run_partitioned
-    from medcat_ray.state.model_pack import load_model_pack
+    from medcat_ray.state.model_pack import (lineage_model_hash,
+                                             load_model_pack)
 
     cdb, vocab, config, pack_hash = load_model_pack(args.models)
+    # lineage key = pack content × engine code version, so a lemmatizer /
+    # extractor bump recomputes partitions even under an old saved pack
+    resume_hash = lineage_model_hash(pack_hash)
     models = kg.broadcast_models(cdb, vocab)
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet")))
     if not files:
@@ -75,7 +79,7 @@ def main(argv=None) -> int:
                 "triples": kg.triples(ann, window=args.window)}
 
     t0 = time.perf_counter()
-    records = run_partitioned(files, args.out, part_fn, pack_hash,
+    records = run_partitioned(files, args.out, part_fn, resume_hash,
                               extra_meta={"pages": args.pages})
     elapsed = time.perf_counter() - t0
 
@@ -86,6 +90,7 @@ def main(argv=None) -> int:
         "triples_rows": sum(r["rows_out"].get("triples", 0)
                             for r in records),
         "model_hash": pack_hash,
+        "lineage_hash": resume_hash,
         "elapsed_sec": round(elapsed, 2),
     }
 

@@ -179,10 +179,28 @@ def _propagate_labels(edges: rd.Dataset, id_col: str,
     """Distributed connected components over (id, rep) star edges by
     min-label propagation: no edge or label table ever leaves the object
     store.  Each round is one hash join (labels onto edge endpoints) plus
-    one groupby-min; converged when the monotone label sum stops falling.
+    one groupby-min; converged when the (node, label) checksum stops
+    changing.  The checksum is a Sum over a per-row BOUNDED hash
+    (stable_u64 % 1e6+3): labels per node are monotone non-increasing, so
+    an unchanged sum means an unchanged table up to a ~2^-43 collision —
+    and unlike summing raw labels it works for STRING ids and cannot
+    overflow int64 at 10^12 nodes (1e12 × 1e6 < 2^63).
     Rounds ∝ component diameter — LSH dup components are star-like, so a
     handful in practice (``max_rounds`` is a safety cap, asserted)."""
     from ray.data.aggregate import Sum
+
+    _CKSUM_MOD = 1_000_003
+
+    def add_checksum(batch: pa.Table) -> pa.Table:
+        vals = [stable_u64(f"{n}\x00{l}".encode()) % _CKSUM_MOD
+                for n, l in zip(batch["node"].to_pylist(),
+                                batch["label"].to_pylist())]
+        return pa.table({"cksum": pa.array(vals, type=pa.int64())})
+
+    def checksum(label_ds: rd.Dataset) -> int:
+        agg = label_ds.map_batches(add_checksum, batch_format="pyarrow") \
+            .aggregate(Sum("cksum"))
+        return agg["sum(cksum)"]
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
@@ -199,7 +217,7 @@ def _propagate_labels(edges: rd.Dataset, id_col: str,
     labels = sym.map_batches(as_labels, batch_format="pyarrow") \
         .groupby("node").aggregate(Min("label", alias_name="label")) \
         .repartition(num_partitions).materialize()
-    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    prev_sum = checksum(labels)
     for _ in range(max_rounds):
         # candidate label for each edge's src = its dst neighbor's label
         cand = sym.join(labels, join_type="inner",
@@ -215,7 +233,7 @@ def _propagate_labels(edges: rd.Dataset, id_col: str,
         labels = labels.union(cand).groupby("node").aggregate(
             Min("label", alias_name="label")) \
             .repartition(num_partitions).materialize()
-        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        cur_sum = checksum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

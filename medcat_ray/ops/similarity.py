@@ -253,10 +253,18 @@ def build_ivf_index(ds: rd.Dataset, index_dir: str, n_cells: int = 16,
     assign every vector's cell in one ``map_batches`` pass, and
     ``write_parquet(partition_cols=["cell"])`` so each Voronoi cell is its
     own directory.  Centroids are saved next to the data.  Returns the
-    centroid matrix."""
+    centroid matrix.
+
+    A non-empty ``index_dir`` is cleared first: parquet writes APPEND new
+    files into existing ``cell=`` directories, so rebuilding over a prior
+    (or crashed) build would silently duplicate every vector."""
     import os
+    import shutil
     import ray
     import pyarrow.compute as pc  # noqa: F401 (schema stability)
+
+    if os.path.isdir(index_dir) and os.listdir(index_dir):
+        shutil.rmtree(index_dir)
 
     sample = np.array([r[vec_col] for r in ds.take(sample_size)],
                       dtype=np.float64)

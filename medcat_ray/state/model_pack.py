@@ -41,6 +41,27 @@ def save_model_pack(path: str, cdb: CDB, vocab: Vocab,
     return pack_hash
 
 
+def engine_code_version() -> str:
+    """Versions of the deterministic text-processing code whose behavior
+    changes annotate output (lemmatizer rules, HTML extractor).  Folded
+    into the LINEAGE key (not the pack content hash): a code bump must
+    invalidate partition resume even for packs saved under older code,
+    else ``run_partitioned`` silently treats stale partitions as
+    current — the same failure mode a vocab-content change used to have."""
+    from medcat_ray.functions.html import EXTRACTOR_VERSION
+    from medcat_ray.functions.text import LEMMATIZER_VERSION
+    return f"lemma={LEMMATIZER_VERSION};extractor={EXTRACTOR_VERSION}"
+
+
+def lineage_model_hash(pack_hash: str) -> str:
+    """The model hash to stamp on output-partition lineage records:
+    pack content hash × engine code version."""
+    h = hashlib.sha256()
+    h.update(pack_hash.encode())
+    h.update(engine_code_version().encode())
+    return h.hexdigest()[:16]
+
+
 def load_model_pack(path: str) -> Tuple[CDB, Vocab, EngineConfig, str]:
     with open(os.path.join(path, "config.json")) as fh:
         config = EngineConfig.from_dict(json.load(fh))

@@ -284,3 +284,19 @@ def test_ivf_indexed_prunes_at_read_and_recalls(ray_session, tmp_path):
         want = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
         # recall@5 with half the cells probed on random data
         assert len(got & want) >= 3
+
+
+def test_propagate_labels_string_ids(ray_session):
+    """The KG pipelines key on string url/doc ids; convergence detection
+    must not require numeric labels (the old Sum(label) check crashed on
+    strings and could overflow int64 at scale)."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import _propagate_labels, _unionfind_labels
+    pairs = [("u1", "u1"), ("u3", "u1"), ("u2", "u2"), ("u3", "u2"),
+             ("u9", "u8"), ("u8", "u7")]
+    edges = rd.from_pandas(_edges_df(pairs))
+    dist = _propagate_labels(edges, "doc_id").to_pandas()
+    uf = _unionfind_labels(_edges_df(pairs), "doc_id")
+    assert dict(zip(dist["doc_id"], dist["rep"])) == \
+        dict(zip(uf["doc_id"], uf["rep"]))
+    assert dict(zip(dist["doc_id"], dist["rep"]))["u9"] == "u7"

@@ -79,3 +79,18 @@ def test_pack_hash_covers_vocab_vectors_and_cdb_metadata(tmp_path):
     cdb.addl_info["cui2group"].pop(cui)
     # restored state reproduces the base hash (determinism)
     assert save_model_pack(str(tmp_path / "p6"), cdb, vocab) == base
+
+
+def test_lineage_hash_covers_engine_code_version(monkeypatch):
+    """A lemmatizer/extractor version bump must change the LINEAGE key even
+    for a pack whose stored pack_hash predates the bump — otherwise
+    run_partitioned silently treats stale partitions as current."""
+    import medcat_ray.functions.text as text_mod
+    from medcat_ray.state.model_pack import lineage_model_hash
+
+    base = lineage_model_hash("abcd1234")
+    assert base != "abcd1234"           # never the raw pack hash
+    monkeypatch.setattr(text_mod, "LEMMATIZER_VERSION", "999-test")
+    assert lineage_model_hash("abcd1234") != base
+    monkeypatch.undo()
+    assert lineage_model_hash("abcd1234") == base   # deterministic
