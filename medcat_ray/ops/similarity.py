@@ -125,18 +125,25 @@ def knn_lsh(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
                 probes.add(int(qb) ^ (1 << bit))
         probe_sets.append(probes)
     wanted = set().union(*probe_sets) if probe_sets else set()
+    wanted_arr = (np.sort(np.fromiter(wanted, dtype=np.uint64,
+                                      count=len(wanted)))
+                  if wanted else np.empty(0, dtype=np.uint64))
 
     import ray
-    wanted_ref = ray.put(wanted)
+    wanted_ref = ray.put(wanted_arr)
 
     def keep_probed(batch: pa.Table) -> pa.Table:
         V = _as_matrix(batch[vec_col])
         if V.size == 0:
             return batch
-        b = bucket_of(V)
+        b = bucket_of(V).astype(np.uint64)
         w = ray.get(wanted_ref)
-        mask = pa.array([int(x) in w for x in b])
-        return batch.filter(mask)
+        if len(w) == 0:
+            mask = np.zeros(len(b), dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(w, b), len(w) - 1)
+            mask = w[idx] == b
+        return batch.filter(pa.array(mask))
 
     pruned = ds.map_batches(keep_probed, batch_format="pyarrow")
     return knn_bruteforce(pruned, query_ids, query_matrix, k,

@@ -212,19 +212,27 @@ def events_sliding(sf_dir: str, window_min: int = 60,
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = df["ts"].astype("int64").to_numpy()     # µs
+        # pure Arrow/numpy combiner: fan each event to its k covering
+        # windows with a broadcast subtraction, no pandas round-trip
+        epoch = pc.cast(batch["ts"], pa.int64()).to_numpy()     # µs
         base = (epoch // slide_us) * slide_us
-        frames = []
-        for i in range(k):
-            d = pd.DataFrame({"event_type": df["event_type"],
-                              "window_start": base - i * slide_us,
-                              "value": df["value"]})
-            frames.append(d)
-        out = pd.concat(frames).groupby(
-            ["event_type", "window_start"], as_index=False).agg(
-                n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        starts = (base[None, :] -
+                  np.arange(k, dtype=np.int64)[:, None] * slide_us)
+        et = batch["event_type"].combine_chunks()
+        val = batch["value"].combine_chunks()
+        fan = pa.table({
+            "event_type": pa.concat_arrays([et] * k),
+            "window_start": pa.array(starts.reshape(-1), type=pa.int64()),
+            "value": pa.concat_arrays([val] * k),
+        })
+        g = fan.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "n_events": g["value_count"],
+            "sum_value": g["value_sum"],
+        })
 
     out = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "window_start"]).aggregate(
