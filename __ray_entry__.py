@@ -316,23 +316,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              concurrency=2)
         return imgs
 
-    def pages_kg_flagship(sf_dir):
-        """HTML flagship on derived pages: extract_text → annotate →
-        entity rows (rows-only: html wrap/extraction not SQL-expressible)."""
+    def _pages_dir(sf_dir):
         from medcat_ray.fixtures import pages_from_documents
-        from medcat_ray.pipelines import kg
-        from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
         docs_path = os.path.join(sf_dir, "documents.parquet")
         pages_dir = os.path.join(
             tempfile.gettempdir(),
             f"medcat_ray_pages_{_source_tag(docs_path)}")
-        _cached_build(pages_dir,
-                      lambda d: pages_from_documents(docs_path, d),
-                      done_file="_DONE")
+        return _cached_build(pages_dir,
+                             lambda d: pages_from_documents(docs_path, d),
+                             done_file="_DONE")
+
+    def _pages_annotated(sf_dir):
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
         cdb, vocab = docs_cdb()
-        ann = kg.annotate_pages(pages_dir, (cdb, vocab), DOCS_CONFIG,
-                                concurrency=2, batch_size=128)
-        return kg.entities(ann)
+        return kg.annotate_pages(_pages_dir(sf_dir), (cdb, vocab),
+                                 DOCS_CONFIG, concurrency=2, batch_size=128)
+
+    def pages_kg_flagship(sf_dir):
+        """HTML flagship, SQL-checked end-to-end: read pages parquet →
+        extract_text(html) → annotate actor pool → entity rows keyed by
+        url.  The oracle is exact because the derived page text is byte-
+        identically ``'doc <id>\\nhome nav\\n' + documents.text`` (north
+        rule, unit-tested), so every entity is the documents-table entity
+        shifted by the prefix length."""
+        import pyarrow as pa
+        from medcat_ray.pipelines import kg
+        ents = kg.entities(_pages_annotated(sf_dir))
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch["url"],
+                "start_pos": batch["start"],
+                "end_pos": batch["end"],
+                "cui": batch["cui"],
+                "source_value": batch["source_value"],
+            })
+        return ents.map_batches(project, batch_format="pyarrow")
+
+    def pages_kg_triple_counts(sf_dir):
+        """Full pages KG path through the triple stage (SQL-checked: pair
+        windows depend only on start-offset DIFFERENCES, which the page
+        prefix shift preserves — the oracle is the documents one)."""
+        from medcat_ray.pipelines import kg
+        out = kg.triple_counts(_pages_annotated(sf_dir), pred=_PRED,
+                               mode="tree").to_pandas()
+        out["count"] = out["count"].astype("int64")
+        return out.sort_values(["subj_cui", "obj_cui"]) \
+            .reset_index(drop=True)
 
     def cdb_stats_query(sf_dir):
         import pandas as pd
@@ -487,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": doc_fingerprints,
         "multimodal_image_stub": multimodal_image_stub,
         "pages_kg_flagship": pages_kg_flagship,
+        "pages_kg_triple_counts": pages_kg_triple_counts,
         "cdb_stats": cdb_stats_query,
         "doc_split": doc_split_query,
     }
@@ -500,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
     from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
                                               entities_oracle_sql,
                                               mentions_oracle_sql,
+                                              pages_flagship_oracle_sql,
                                               triple_counts_oracle_sql)
 
     kg_triples_sql = (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
@@ -544,6 +577,8 @@ FROM counts
         "kg_meta": meta_oracle_sql(),
         "kg_deid": deid_oracle_sql(),
         "kg_train_counts": train_counts_oracle_sql(),
+        "pages_kg_flagship": pages_flagship_oracle_sql(),
+        "pages_kg_triple_counts": triple_counts_oracle_sql(),
         "eval_prf": eval_prf_sql,
         "snomed_relationships": """
 SELECT CAST(p_partkey AS VARCHAR) AS subj_cui,

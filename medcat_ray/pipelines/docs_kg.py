@@ -488,6 +488,29 @@ def train_counts_oracle_sql() -> str:
             + "SELECT cui, count(*) AS n_train FROM ents GROUP BY cui")
 
 
+def pages_flagship_oracle_sql() -> str:
+    """DuckDB oracle for the HTML pages flagship (``pages_kg_flagship``).
+
+    ``fixtures.pages_from_documents`` wraps each documents row in template
+    HTML whose :func:`medcat_ray.functions.html.extract_text` output is
+    byte-identically ``'doc <id>\\nhome nav\\n' + text`` (the north-rule
+    invariant, unit-tested in tests/test_north_rule.py) with
+    ``url = 'https://docs.example/' + doc_id`` — so the full
+    read → extract_text → annotate path over pages equals the documents
+    entity set with every offset shifted by the prefix length
+    ``len('doc ') + len(doc_id) + len('\\nhome nav\\n') = 14 + len(id)``
+    (the prefix tokens ``doc/<digits>/home/nav`` match no concept name)."""
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + """
+SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(start_pos + 14 + length(CAST(doc_id AS VARCHAR)) AS INT)
+         AS start_pos,
+       CAST(end_pos + 14 + length(CAST(doc_id AS VARCHAR)) AS INT)
+         AS end_pos,
+       cui, source_value
+FROM ents
+""")
+
+
 def entities_oracle_sql() -> str:
     return (TOKEN_CTE.format(concepts=concept_values_sql())
             + "SELECT doc_id, start_pos, end_pos, cui, source_value FROM ents")
