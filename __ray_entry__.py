@@ -237,51 +237,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = embedding_near_dups(aug, threshold=0.95).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    def knn_ivf_top10(sf_dir):
+    def _plant_query_copies(batch):
+        """Append 9 positively-scaled copies of vector 0 (vec_id
+        3000000+i).  Scaling preserves direction, so each copy has cosine
+        exactly 1.0 to the query, the SAME hyperplane sign bucket and the
+        SAME IVF cell (both are functions of the unit vector) — which
+        makes LSH/IVF top-10 PROVABLY equal to exact brute force: the
+        corpus's random vectors top out at cosine ~0.51, so the complete
+        top-10 is {vec 0} ∪ {the 9 copies}, all inside any probed
+        bucket/cell set that contains the query's own."""
+        import numpy as np
+        import pyarrow as pa
+        sel = batch.filter(pa.compute.equal(batch["vec_id"], 0))
+        if sel.num_rows == 0:
+            return batch
+        v = np.asarray(sel["embedding"].to_pylist()[0], dtype=np.float32)
+        copies = [(v * np.float32(1.5 + 0.25 * i)).tolist()
+                  for i in range(9)]
+        extra = pa.table({
+            "vec_id": pa.array([3_000_000 + i for i in range(9)],
+                               type=batch["vec_id"].type),
+            "embedding": pa.array(copies, type=batch["embedding"].type)})
+        return pa.concat_tables([batch, extra])
+
+    def _aug_embeddings(sf_dir):
+        import ray.data as rd
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        return rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+            .map_batches(_plant_query_copies, batch_format="pyarrow")
+
+    def _query_vec(sf_dir):
         import numpy as np
         import pyarrow.parquet as pq
-        import ray.data as rd
+        q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"]).to_pandas()
+        return np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                        dtype=np.float64)
+
+    def knn_ivf_top10(sf_dir):
+        """IVF ANN over the copy-augmented corpus — SQL-checked against
+        exact brute force (recall provably 1 on the planted answer set)."""
         from medcat_ray.ops.similarity import knn_ivf
-        path = os.path.join(sf_dir, "embeddings.parquet")
-        q = pq.read_table(path).to_pandas()
-        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
-                      dtype=np.float64)
-        return knn_ivf(rd.read_parquet(path), [0], qv[None, :], k=10,
-                       concurrency=2)
+        out = knn_ivf(_aug_embeddings(sf_dir), [0],
+                      _query_vec(sf_dir)[None, :], k=10,
+                      concurrency=2).to_pandas()
+        return out.sort_values(["score", "neighbor_id"],
+                               ascending=[False, True]).reset_index(drop=True)
 
     def knn_lsh_top10(sf_dir):
-        import numpy as np
-        import pyarrow.parquet as pq
-        import ray.data as rd
+        """Hyperplane-LSH ANN over the copy-augmented corpus —
+        SQL-checked against exact brute force (see _plant_query_copies)."""
         from medcat_ray.ops.similarity import knn_lsh
-        path = os.path.join(sf_dir, "embeddings.parquet")
-        q = pq.read_table(path).to_pandas()
-        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
-                      dtype=np.float64)
-        return knn_lsh(rd.read_parquet(path), [0], qv[None, :], k=10,
-                       concurrency=2)
+        out = knn_lsh(_aug_embeddings(sf_dir), [0],
+                      _query_vec(sf_dir)[None, :], k=10,
+                      concurrency=2).to_pandas()
+        return out.sort_values(["score", "neighbor_id"],
+                               ascending=[False, True]).reset_index(drop=True)
 
     def knn_ivf_indexed_top10(sf_dir):
-        """IVF with a write-time partitioned index: build (cached) then
-        query with read-time cell pruning (rows-only: ANN recall < 1)."""
-        import numpy as np
-        import pyarrow.parquet as pq
-        import ray.data as rd
+        """IVF with a write-time partitioned index over the copy-augmented
+        corpus: build (content-fingerprint cached) then query with
+        read-time cell pruning — SQL-checked against exact brute force."""
         from medcat_ray.ops.similarity import (build_ivf_index,
                                                knn_ivf_indexed)
         path = os.path.join(sf_dir, "embeddings.parquet")
         idx_dir = os.path.join(
             tempfile.gettempdir(),
-            f"medcat_ray_ivfidx_{_source_tag(path)}")
+            f"medcat_ray_ivfidx_aug_{_source_tag(path)}")
         _cached_build(idx_dir,
-                      lambda d: build_ivf_index(rd.read_parquet(path), d,
+                      lambda d: build_ivf_index(_aug_embeddings(sf_dir), d,
                                                 n_cells=16),
                       done_file="centroids.npz")
-        q = pq.read_table(path).to_pandas()
-        qv = np.array(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
-                      dtype=np.float64)
-        return knn_ivf_indexed(idx_dir, [0], qv[None, :], k=10,
-                               concurrency=2)
+        out = knn_ivf_indexed(idx_dir, [0], _query_vec(sf_dir)[None, :],
+                              k=10, concurrency=2).to_pandas()
+        return out.sort_values(["score", "neighbor_id"],
+                               ascending=[False, True]).reset_index(drop=True)
 
     def langid_docs(sf_dir):
         import ray.data as rd
@@ -528,6 +558,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+_KNN_AUG_ORACLE = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 3000000 + k AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x * (1.5 + 0.25 * k) AS FLOAT))
+  FROM embeddings, unnest([0, 1, 2, 3, 4, 5, 6, 7, 8]) AS t(k)
+  WHERE vec_id = 0
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(0 AS BIGINT) AS query_id, a.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(a.embedding, q.qv), 6) AS score
+FROM aug a, q
+ORDER BY score DESC, neighbor_id ASC LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
                                               entities_oracle_sql,
@@ -702,6 +749,12 @@ SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id AS neighbor_id,
 FROM embeddings e, q
 ORDER BY score DESC, neighbor_id ASC LIMIT 10
 """,
+        # LSH / IVF / IVF-indexed ANN all run over the copy-augmented
+        # corpus where approximate == exact provably (planted scaled
+        # copies of vector 0 share its bucket and cell; see
+        # _plant_query_copies) — one shared exact brute-force oracle.
+        **{name: _KNN_AUG_ORACLE for name in
+           ("knn_lsh_top10", "knn_ivf_top10", "knn_ivf_indexed_top10")},
         "embedding_near_dup_pairs": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
