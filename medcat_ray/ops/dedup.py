@@ -47,23 +47,48 @@ from medcat_ray.ops.hashing import (band_key, minhash_params,
 
 def add_content_hash(ds: rd.Dataset, text_col: str = "text",
                      out_col: str = "content_hash") -> rd.Dataset:
+    """64-bit content hash, stored BIT-WRAPPED as int64 (bijective): Ray's
+    hash-shuffle re-infers uint64 key columns and falls back to
+    pickled-object blocks for values ≥ 2^63, which then crash joins on the
+    key — int64 stays native end to end."""
     def _hash(batch: pa.Table) -> pa.Table:
-        hashes = text_hashes(batch[text_col].to_pylist())
-        return batch.append_column(out_col, pa.array(hashes, type=pa.uint64()))
+        hashes = np.fromiter(text_hashes(batch[text_col].to_pylist()),
+                             dtype=np.uint64,
+                             count=batch.num_rows).view(np.int64)
+        return batch.append_column(out_col,
+                                   pa.array(hashes, type=pa.int64()))
     return ds.map_batches(_hash, batch_format="pyarrow")
 
 
+def _join_partitions(num_partitions: Optional[int]) -> int:
+    """Safe default partition count for ONE Dataset.join in a plan: each
+    join spins ``num_partitions`` aggregator actors that hold a CPU."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 4)
+
+
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
-                text_col: str = "text") -> rd.Dataset:
+                text_col: str = "text", method: str = "auto",
+                broadcast_limit: int = 1_000_000,
+                num_partitions: Optional[int] = None) -> rd.Dataset:
     """Keep one representative row (min id) per distinct text.
 
     Shape (SURVEY.md §2.7 D5 analogue): one NATIVE hash-partitioned
     ``groupby(content_hash).aggregate(Min, Count)`` — no per-group Python
     call — then only the DUPLICATED hashes (volume ∝ duplicate rate, not
-    corpus size) are broadcast and probed per batch: a row survives iff its
-    hash is unique or it is the group's min-id representative."""
-    import ray
+    corpus size) filter the stream, by one of two paths:
 
+    * ``broadcast``: the (hash → keep_id) map is ``ray.put`` once and
+      probed per batch — fastest while the dup map fits in memory;
+    * ``join``: the dup table stays in the object store and reaches the
+      stream through one hash join on content_hash; a row survives iff
+      its hash is unique (null ``keep_id``) or it is the representative.
+      Nothing O(dup-rate × corpus) ever lands on the driver — the
+      Common-Crawl-scale path (30-50% dup rates × 10^12 docs).
+    * ``auto`` (default): counts the dup table and picks."""
     hashed = add_content_hash(ds, text_col)
     agg = hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n"))
@@ -72,7 +97,33 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         return batch.select(["content_hash", "keep_id"]).filter(
             pc.greater(batch["n"], 1))
 
-    dup = agg.map_batches(non_singleton, batch_format="pyarrow").to_pandas()
+    dup_ds = agg.map_batches(non_singleton, batch_format="pyarrow")
+    if method == "auto":
+        dup_ds = dup_ds.materialize()
+        method = "broadcast" if dup_ds.count() <= broadcast_limit \
+            else "join"
+
+    if method == "join":
+        dup_ds = dup_ds.materialize()
+        if dup_ds.count() == 0:   # a fully-empty join side has no schema
+            return ds              # at all (Ray 2.49) — and needs no join
+        p = _join_partitions(num_partitions)
+        # repartition rebuilds the groupby's schema-less empty blocks
+        # (Ray 2.49 join-finalize crash, see _propagate_labels)
+        joined = hashed.join(dup_ds.repartition(p), join_type="left_outer",
+                             num_partitions=p, on=("content_hash",))
+
+        def keep_reps(batch: pa.Table) -> pa.Table:
+            keep_id = batch["keep_id"]
+            mask = pc.or_kleene(pc.is_null(keep_id),
+                                pc.equal(keep_id, batch[id_col]))
+            return batch.filter(pc.fill_null(mask, False))
+
+        return joined.map_batches(keep_reps, batch_format="pyarrow") \
+            .drop_columns(["content_hash", "keep_id"])
+
+    import ray
+    dup = dup_ds.to_pandas()
     keep_map = {} if dup.empty else dict(zip(dup["content_hash"],
                                              dup["keep_id"]))
     keep_ref = ray.put(keep_map)
@@ -318,16 +369,39 @@ def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
     return rd.from_pandas(_unionfind_labels(edges.to_pandas(), id_col))
 
 
-def minhash_dedup(ds: rd.Dataset, **kw) -> rd.Dataset:
-    """Representatives after near-dup clustering: rows whose id == rep."""
+def minhash_dedup(ds: rd.Dataset, num_partitions: Optional[int] = None,
+                  **kw) -> rd.Dataset:
+    """Representatives after near-dup clustering: drop every row whose
+    cluster label names a different representative.
+
+    ``method="driver"`` (small corpora): the union-find label table is
+    already driver-side — the non-representative id set is broadcast and
+    filtered per batch.
+
+    ``method="distributed"`` (the 10^12-doc path): the label table from
+    min-label propagation stays in the object store; non-representative
+    ids ANTI-JOIN the docs stream (``join_type="left_anti"``) — nothing
+    O(dup-rate × corpus) ever comes to the driver.  Outputs equal the
+    broadcast path (unit-tested)."""
     id_col = kw.get("id_col", "doc_id")
+    method = kw.get("method", "driver")
     clusters = minhash_dedup_clusters(ds, **kw)
+
+    if method == "distributed":
+        def nonrep_ids(batch: pa.Table) -> pa.Table:
+            keep = pc.not_equal(batch[id_col], batch["rep"])
+            return batch.select([id_col]).filter(keep)
+        p = _join_partitions(num_partitions)
+        nonrep = clusters.map_batches(nonrep_ids, batch_format="pyarrow") \
+            .materialize()
+        if nonrep.count() == 0:   # fully-empty join side: no schema (Ray
+            return ds              # 2.49) — and nothing to drop anyway
+        return ds.join(nonrep.repartition(p), join_type="left_anti",
+                       num_partitions=p, on=(id_col,))
+
+    import ray
     dup_df = clusters.to_pandas()
     dup_ids = set(dup_df.loc[dup_df[id_col] != dup_df["rep"], id_col])
-    # broadcast the (small) non-representative id set; anti-join as a
-    # vectorized filter.  At 10^12 scale this set is written to parquet and
-    # the filter becomes a bucket-wise semi-join — same shape, documented.
-    import ray
     dup_ref = ray.put(dup_ids)
 
     def drop_dups(batch: pa.Table) -> pa.Table:

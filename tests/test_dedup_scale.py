@@ -300,3 +300,43 @@ def test_propagate_labels_string_ids(ray_session):
     assert dict(zip(dist["doc_id"], dist["rep"])) == \
         dict(zip(uf["doc_id"], uf["rep"]))
     assert dict(zip(dist["doc_id"], dist["rep"]))["u9"] == "u7"
+
+
+def test_minhash_dedup_antijoin_equals_broadcast(ray_session):
+    """The distributed representative filter (left_anti join against the
+    propagated label table, nothing driver-side) must keep exactly the
+    rows the broadcast path keeps."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import minhash_dedup
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight looking for food") * 3
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("green", "blue")},
+            {"doc_id": 3, "text": "entirely different content " * 10},
+            {"doc_id": 4, "text": base},
+            {"doc_id": 5, "text": "another unique document here " * 8}]
+    drv = minhash_dedup(rd.from_items(rows), method="driver").to_pandas()
+    dst = minhash_dedup(rd.from_items(rows),
+                        method="distributed").to_pandas()
+    assert sorted(drv["doc_id"]) == sorted(dst["doc_id"])
+    assert 1 in set(drv["doc_id"]) and 4 not in set(drv["doc_id"])
+
+
+def test_exact_dedup_join_equals_broadcast(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.dedup import exact_dedup
+    rows = [{"doc_id": i, "text": f"text {i % 4}"} for i in range(12)]
+    b = exact_dedup(rd.from_items(rows), method="broadcast").to_pandas()
+    j = exact_dedup(rd.from_items(rows), method="join").to_pandas()
+    assert sorted(b["doc_id"]) == sorted(j["doc_id"]) == [0, 1, 2, 3]
+    assert sorted(b.columns) == sorted(j.columns)
+
+
+def test_exact_dedup_join_no_dups(ray_session):
+    """Empty dup table through the join path (schema-less empty-block
+    regression guard)."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import exact_dedup
+    rows = [{"doc_id": i, "text": f"unique {i}"} for i in range(6)]
+    j = exact_dedup(rd.from_items(rows), method="join").to_pandas()
+    assert sorted(j["doc_id"]) == list(range(6))
