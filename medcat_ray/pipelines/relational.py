@@ -82,30 +82,40 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """orders ⋈ customer ⋈ nation revenue rollup with the small sides
-    broadcast (no shuffle join: dimension dicts probed per batch)."""
-    customer = pd.read_parquet(_t(sf_dir, "customer"),
-                               columns=["c_custkey", "c_nationkey"])
+def revenue_by_nation(sf_dir: str, num_partitions: int = None) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation revenue rollup.
+
+    Join shape for the 100× design point: customer is a FACT-SCALE
+    dimension (a per-custkey broadcast dict stops fitting an object-store
+    broadcast), so orders⋈customer is a hash SHUFFLE join on custkey;
+    only nation — truly broadcast-sized — ships as a dict.  The joined
+    stream pre-combines per batch (one partial row per nation per batch)
+    before the final tiny groupby."""
     nation = pd.read_parquet(_t(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
-    nation2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    # compose the two dimension maps ONCE (custkey → nation name) so the
-    # per-batch probe is a single C-speed pandas .map, not a Python lambda
-    cust2name = {c: nation2name.get(n, "UNKNOWN")
-                 for c, n in zip(customer["c_custkey"],
-                                 customer["c_nationkey"])}
-    ref = ray.put(cust2name)
+    # dense-key vectorized lookup: nationkey -> name via np.take
+    max_key = int(nation["n_nationkey"].max())
+    name_arr = np.full(max_key + 2, "UNKNOWN", dtype=object)
+    name_arr[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    ref = ray.put(name_arr)
 
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources()
+                                    .get("CPU", 8)) // 4)
+    customer = rd.read_parquet(_t(sf_dir, "customer"),
+                               columns=["c_custkey", "c_nationkey"])
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(customer, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
-        c2name = ray.get(ref)
-        names = pd.Series(batch["o_custkey"].to_numpy(
-            zero_copy_only=False)).map(c2name).fillna("UNKNOWN")
+        names = ray.get(ref)
+        keys = np.clip(batch["c_nationkey"].to_numpy(zero_copy_only=False),
+                       0, len(names) - 1)
         g = batch.append_column(
-            "n_name", pa.array(names, type=pa.string())).group_by(
+            "n_name", pa.array(names[keys], type=pa.string())).group_by(
             "n_name").aggregate(
             [("o_totalprice", "sum"), ("o_totalprice", "count")])
         return pa.table({
@@ -114,7 +124,7 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
             "n_orders": g["o_totalprice_count"],
         })
 
-    out = orders.map_batches(partial, batch_format="pyarrow") \
+    out = joined.map_batches(partial, batch_format="pyarrow") \
         .groupby("n_name").aggregate(
             Sum("revenue", alias_name="revenue"),
             Sum("n_orders", alias_name="n_orders")).to_pandas()
@@ -250,6 +260,8 @@ def _merge_session_runs(df: pd.DataFrame, gap: pd.Timedelta,
     """ONE vectorized chain-merge over rows sorted by (user, start): a new
     chain begins at a user change or a gap > ``gap`` since the previous
     row's end; aggregate per chain.  No per-user dispatch."""
+    if df.empty:
+        return df
     df = df.sort_values(["user_id", start_col, end_col]) \
         .reset_index(drop=True)
     new_chain = (df["user_id"] != df["user_id"].shift()) | \
@@ -266,6 +278,30 @@ def _merge_session_runs(df: pd.DataFrame, gap: pd.Timedelta,
     return out.reset_index(drop=True)
 
 
+def _merge_sessions_distributed(sess: rd.Dataset, gap: pd.Timedelta,
+                                single_block_limit: int = 2_000_000,
+                                max_passes: int = 4) -> rd.Dataset:
+    """Chain-merge candidate session rows WITHOUT a driver materialization.
+
+    Each pass = sort by (user, start) + the vectorized chain-merge per
+    batch; chains interior to a batch collapse, at most one split survives
+    per batch boundary, so rows shrink by the events-per-session factor
+    per pass.  When the table fits a single block, one final
+    ``repartition(1)`` pass (whole block as one batch) makes the result
+    exact — at 10^12 events the earlier passes have already collapsed
+    volume by orders of magnitude before that point."""
+    merge = (lambda df: _merge_session_runs(df, gap, "session_start",
+                                            "session_end"))
+    for _ in range(max_passes):
+        sess = sess.materialize()
+        if sess.count() <= single_block_limit:
+            break
+        sess = sess.sort(["user_id", "session_start", "session_end"]) \
+            .map_batches(merge, batch_format="pandas")
+    return sess.repartition(1).map_batches(merge, batch_format="pandas",
+                                           batch_size=None)
+
+
 def user_sessions(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
     """Sessionization: per user, events sorted by time split into sessions
     at gaps > ``gap_min`` minutes; one row per session.
@@ -273,12 +309,10 @@ def user_sessions(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
     Scale shape (no per-user ``map_groups`` — one pandas call per user was
     the round-1 anti-pattern): global sort by (user_id, ts, event_id), then
     ONE vectorized shift/cumsum pass per sorted batch compresses events →
-    candidate sessions; sessions split by batch/block boundaries are then
-    chain-merged with the same vectorized pass over the (much smaller)
-    session rows.  The merge runs driver-side here because the query
-    returns a DataFrame anyway; at 10^12 events it is the identical
-    sort+map_batches pass applied recursively to session rows (volume
-    drops by the events-per-session factor each level)."""
+    candidate sessions; boundary-split sessions are chain-merged by
+    :func:`_merge_sessions_distributed` — recursive sorted passes inside
+    the object store, with a final single-block pass once the table is
+    small.  No step materializes on the driver before the result."""
     gap = pd.Timedelta(minutes=gap_min)
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts", "value"])
@@ -299,8 +333,7 @@ def user_sessions(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
 
     sess = ds.sort(["user_id", "ts", "event_id"]) \
         .map_batches(block_sessions, batch_format="pandas")
-    out = _merge_session_runs(sess.to_pandas(), gap,
-                              "session_start", "session_end")
+    out = _merge_sessions_distributed(sess, gap).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(3)
     return out.sort_values(["user_id", "session_start"]) \
