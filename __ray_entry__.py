@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG pipeline (SQL-checked, full annotate+triple stages)
         "kg_entities": docs_kg.kg_entities,
         "kg_entities_hard": docs_kg.kg_entities_hard,
+        "kg_entities_spell": docs_kg.kg_entities_spell,
         "kg_triple_counts_hard": docs_kg.kg_triple_counts_hard,
         "kg_mentions": docs_kg.kg_mentions,
         "kg_triples": lambda sf: docs_kg.kg_triples(sf),
@@ -612,10 +613,12 @@ FROM counts
                                               train_counts_oracle_sql,
                                               typed_triples_oracle_sql)
     from medcat_ray.pipelines.docs_kg import (hard_entities_oracle_sql,
-                                              hard_triple_counts_oracle_sql)
+                                              hard_triple_counts_oracle_sql,
+                                              spell_entities_oracle_sql)
     return {
         "kg_entities": entities_oracle_sql(),
         "kg_entities_hard": hard_entities_oracle_sql(),
+        "kg_entities_spell": spell_entities_oracle_sql(),
         "kg_triple_counts_hard": hard_triple_counts_oracle_sql(),
         "kg_mentions": mentions_oracle_sql(),
         "kg_triples": kg_triples_sql,

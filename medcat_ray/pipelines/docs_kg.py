@@ -259,6 +259,134 @@ WITH toks AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# SPELL + REVERSE-ORDER concept space: exercises M5 (Norvig spell-correction
+# through the deterministic sorted tie-break) and the M6 try_reverse_word_order
+# branch in an exactly-SQL-checkable setting.  Construction:
+#   * the corpus's only ≥ spell_check_len_limit (7) chars word is
+#     'customer', which is IN cdb.vocab — so after the deterministic
+#     transform below, 'custoner' is the single token that takes the spell
+#     path, and its only known edit-1 candidate is 'customer'
+#     (edits1 ∩ cdb.vocab = {'customer'} — the correction is a constant);
+#   * 'beta' (single concept) + 'alpha beta' (stored bigram) use words that
+#     never occur naturally, so the reversed surface 'beta alpha' appears
+#     exactly at the planted positions with stopword buffers — no chained
+#     overlapping bigrams, overlap resolution reduces to "bigram claims its
+#     two tokens".
+# ---------------------------------------------------------------------------
+
+SPELL_CONFIG = EngineConfig(spell_check=True, try_reverse_word_order=True)
+SPELL_BETA_CUI = "C0000500"
+SPELL_REV_CUI = "C0000501"
+_SPELL_PLANT = ("custoner", "a", "beta", "alpha", "the")
+
+
+def docs_cdb_spell() -> Tuple[CDB, Vocab]:
+    cdb = CDB(SPELL_CONFIG)
+    for word, cui in sorted(DOC_CONCEPTS.items()):
+        cdb.add_concept(cui, prepare_name(word, SPELL_CONFIG),
+                        name_status="P", type_ids={DOC_TYPES[word]})
+    cdb.add_concept(SPELL_BETA_CUI, prepare_name("beta", SPELL_CONFIG),
+                    name_status="P", type_ids={"T_OBJ"})
+    cdb.add_concept(SPELL_REV_CUI, prepare_name("alpha beta", SPELL_CONFIG),
+                    name_status="P", type_ids={"T_OP"})
+    return cdb, Vocab()
+
+
+def _plant_spell_tokens(batch: pa.Table) -> pa.Table:
+    """Deterministic token transform (mirrored in the oracle SQL): docs
+    with ≥ 6 tokens get tokens 1-5 replaced by
+    ('custoner', 'a', 'beta', 'alpha', 'the')."""
+    out = []
+    for t in batch["text"].to_pylist():
+        toks = t.split(" ")
+        if len(toks) >= 6:
+            toks[0:5] = list(_SPELL_PLANT)
+        out.append(" ".join(toks))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pa.array(out, type=pa.string())})
+
+
+def kg_entities_spell(sf_dir: str) -> rd.Dataset:
+    """Entities over the spell/reverse-planted corpus: 'custoner' links to
+    the customer CUI through the spell checker; planted 'beta alpha'
+    matches the stored 'alpha beta' bigram through try_reverse_word_order
+    (and overlap-claims its tokens from the 'beta' single)."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(_plant_spell_tokens, batch_format="pyarrow")
+    cdb, vocab = docs_cdb_spell()
+    ann = kg.annotate(docs, (cdb, vocab), SPELL_CONFIG,
+                      concurrency=2, batch_size=128, key_column="doc_id")
+    ents = kg.entities(ann, key_column="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "start_pos": batch["start"],
+            "end_pos": batch["end"],
+            "cui": batch["cui"],
+            "source_value": batch["source_value"],
+        })
+    return ents.map_batches(project, batch_format="pyarrow")
+
+
+def spell_entities_oracle_sql() -> str:
+    """DuckDB oracle for :func:`kg_entities_spell`.
+
+    Singles = frozen concepts ∪ {('custoner' → customer CUI)} — the spell
+    correction is a constant map by construction — ∪ {'beta'}; the planted
+    adjacent ('beta', 'alpha') pair is the reverse-matched bigram, whose
+    two token positions are excluded from singles (overlap resolution)."""
+    single_map = dict(DOC_CONCEPTS)
+    single_map["custoner"] = DOC_CONCEPTS["customer"]   # M5 spell path
+    single_map["beta"] = SPELL_BETA_CUI
+    single_rows = ", ".join(f"('{w}', '{c}')"
+                            for w, c in sorted(single_map.items()))
+    plant_list = ", ".join(f"'{w}'" for w in _SPELL_PLANT)
+    return f"""
+WITH orig AS (
+  SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents
+), tr AS (
+  SELECT doc_id, CASE WHEN len(toks0) >= 6
+      THEN list_concat([{plant_list}], toks0[6:])
+      ELSE toks0 END AS toks
+  FROM orig
+), tokd AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM tr
+), pos AS (
+  SELECT doc_id, tok, i,
+         CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS start_pos
+  FROM tokd
+), bigrams AS (
+  SELECT p1.doc_id, p1.start_pos,
+         CAST(p2.start_pos + length(p2.tok) AS INT) AS end_pos,
+         '{SPELL_REV_CUI}' AS cui,
+         p1.tok || ' ' || p2.tok AS source_value,
+         p1.i AS i1, p2.i AS i2
+  FROM pos p1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+  WHERE p1.tok = 'beta' AND p2.tok = 'alpha'
+), singles AS (
+  SELECT p.doc_id, p.start_pos,
+         CAST(p.start_pos + length(p.tok) AS INT) AS end_pos,
+         s.cui, p.tok AS source_value
+  FROM pos p
+  JOIN (VALUES {single_rows}) AS s(name, cui) ON p.tok = s.name
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bigrams b
+    WHERE b.doc_id = p.doc_id AND p.i IN (b.i1, b.i2))
+)
+SELECT doc_id, start_pos, end_pos, cui, source_value FROM bigrams
+UNION ALL
+SELECT doc_id, start_pos, end_pos, cui, source_value FROM singles
+"""
+
+
 def _annotated(sf_dir: str, concurrency=2, batch_size: int = 128):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])

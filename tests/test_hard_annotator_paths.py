@@ -81,3 +81,33 @@ def test_greedy_breaks_on_first_non_extension():
     ents = _spans(_annotate(text))
     assert ents == [("C0000011", 0, 4, "hash"),
                     ("C0000103", 9, 19, "hash query")]
+
+
+def test_spell_and_reverse_order_paths():
+    """M5 spell correction ('custoner' → customer CUI via the sorted-
+    tie-break Norvig candidates) and the M6 try_reverse_word_order branch
+    ('beta alpha' surface matches the stored 'alpha beta' bigram), with
+    the bigram overlap-claiming its tokens from the 'beta' single."""
+    from medcat_ray.core.annotator import DocAnnotator
+    from medcat_ray.pipelines.docs_kg import (SPELL_BETA_CUI, SPELL_CONFIG,
+                                              SPELL_REV_CUI, docs_cdb_spell)
+    cdb, vocab = docs_cdb_spell()
+    ann = DocAnnotator(cdb, vocab, SPELL_CONFIG)
+    ents = ann.annotate("custoner a beta alpha the join")
+    by_src = {e["source_value"]: e for e in ents}
+    assert by_src["custoner"]["cui"] == "C0000012"      # spell-corrected
+    assert by_src["beta alpha"]["cui"] == SPELL_REV_CUI  # reverse bigram
+    assert by_src["join"]["cui"] == "C0000002"
+    assert SPELL_BETA_CUI not in {e["cui"] for e in ents}  # overlapped out
+    assert len(ents) == 3
+    # span arithmetic: bigram covers both tokens
+    b = by_src["beta alpha"]
+    assert b["end"] - b["start"] == len("beta alpha")
+
+    # no reverse flag -> no bigram; beta single survives
+    from medcat_ray.config import EngineConfig
+    cfg2 = EngineConfig(spell_check=True, try_reverse_word_order=False)
+    ann2 = DocAnnotator(cdb, vocab, cfg2)
+    ents2 = ann2.annotate("custoner a beta alpha the join")
+    srcs2 = {e["source_value"] for e in ents2}
+    assert "beta alpha" not in srcs2 and "beta" in srcs2
