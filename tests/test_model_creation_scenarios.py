@@ -152,42 +152,153 @@ def test_uppercase_non_abbreviation(models):
         models, "RILUZOLE is a drug used to slow disease progression.")
 
 
+# Held-out hand-labeled sentences (OUR OWN text) for the P/R floor.
+# Coverage axes: lemma variants (gliomas/seizures/falls/falling/tumours),
+# diacritics (Sjögren's), uppercase abbreviations (ALS vs als/Als),
+# multi-token names incl. an embedded stopword (brain glioma, glial
+# tumour, glioma of brain), case variants, and negative lookalikes
+# (rainfall, waterfall, ALSO, gliomatosis, weakly).
+GOLD_DOCS = [
+    ("A glioma can cause a seizure and progressive weakness.",
+     [("glioma", "CT000001"), ("seizure", "CT000003"),
+      ("weakness", "CT000009")]),
+    ("Radiosurgery is an option for a brain glioma in older adults.",
+     [("Radiosurgery", "CT000008"), ("brain glioma", "CT000002")]),
+    ("ALS progresses from weakness to loss of mobility.",
+     [("ALS", "CT000006"), ("weakness", "CT000009")]),
+    ("Riluzole slows ALS but cannot prevent a fall at home.",
+     [("Riluzole", "CT000007"), ("ALS", "CT000006"),
+      ("fall", "CT000004")]),
+    ("After falling twice the patient developed a seizure disorder.",
+     [("falling", "CT000004"), ("seizure", "CT000003")]),
+    ("Sjögren's syndrome often coexists with weakness and fatigue.",
+     [("Sjögren's syndrome", "CT000005"), ("weakness", "CT000009")]),
+    ("Gliomas are graded by how quickly the cells divide.",
+     [("Gliomas", "CT000001")]),
+    ("Two seizures in one week prompted an urgent scan.",
+     [("seizures", "CT000003")]),
+    ("Repeated falls at home may signal growing weakness.",
+     [("falls", "CT000004"), ("weakness", "CT000009")]),
+    ("A glial tumour was found on the left side.",
+     [("glial tumour", "CT000001")]),
+    ("Glial tumours vary widely in growth rate.",
+     [("Glial tumours", "CT000001")]),
+    ("Imaging confirmed a glioma of brain origin.",
+     [("glioma of brain", "CT000002")]),
+    ("The brain glioma shrank after radiosurgery.",
+     [("brain glioma", "CT000002"), ("radiosurgery", "CT000008")]),
+    ("Weakness on one side can follow a seizure.",
+     [("Weakness", "CT000009"), ("seizure", "CT000003")]),
+    ("Riluzole is generally well tolerated.",
+     [("Riluzole", "CT000007")]),
+    ("RILUZOLE was prescribed at the usual dose.",
+     [("RILUZOLE", "CT000007")]),
+    ("The als should not be linked here.", []),
+    ("Als should not be linked either.", []),
+    ("ALSO is not an abbreviation for the disease.", []),
+    ("Heavy rainfall delayed the clinic visit.", []),
+    ("A waterfall photo hung in the waiting room.", []),
+    ("The patient spoke weakly but clearly.", []),
+    ("Gliomatosis is a different radiological pattern.", []),
+    ("ALS and Sjögren's syndrome are distinct diseases.",
+     [("ALS", "CT000006"), ("Sjögren's syndrome", "CT000005")]),
+    ("A seizure rarely follows radiosurgery.",
+     [("seizure", "CT000003"), ("radiosurgery", "CT000008")]),
+    ("Falling is the most feared complication of weakness.",
+     [("Falling", "CT000004"), ("weakness", "CT000009")]),
+    ("The glioma recurred two years after radiosurgery.",
+     [("glioma", "CT000001"), ("radiosurgery", "CT000008")]),
+    ("Seizure frequency decreased on the new regimen.",
+     [("Seizure", "CT000003")]),
+    ("A fall fractured her wrist last winter.",
+     [("fall", "CT000004")]),
+    ("Weakness of grip was the first sign of ALS.",
+     [("Weakness", "CT000009"), ("ALS", "CT000006")]),
+    ("Sjögren's syndrome may precede other autoimmune disease.",
+     [("Sjögren's syndrome", "CT000005")]),
+    ("Dry eyes are typical of Sjögren's syndrome.",
+     [("Sjögren's syndrome", "CT000005")]),
+    ("He described one seizure and two falls.",
+     [("seizure", "CT000003"), ("falls", "CT000004")]),
+    ("The brain glioma displaced the ventricle.",
+     [("brain glioma", "CT000002")]),
+    ("Radiosurgery spares the surrounding tissue.",
+     [("Radiosurgery", "CT000008")]),
+    ("Untreated gliomas cause progressive weakness.",
+     [("gliomas", "CT000001"), ("weakness", "CT000009")]),
+    ("Riluzole does not reverse existing weakness.",
+     [("Riluzole", "CT000007"), ("weakness", "CT000009")]),
+    ("ALS was confirmed after a year of testing.",
+     [("ALS", "CT000006")]),
+    ("A seizure during recovery can cause a fall.",
+     [("seizure", "CT000003"), ("fall", "CT000004")]),
+    ("Her weakness improved with physiotherapy.",
+     [("weakness", "CT000009")]),
+    ("The glial tumour infiltrated nearby tissue.",
+     [("glial tumour", "CT000001")]),
+    ("Another seizure occurred despite treatment.",
+     [("seizure", "CT000003")]),
+    ("No fall was reported during the stay.",
+     [("fall", "CT000004")]),
+    ("A brain glioma may present with seizures.",
+     [("brain glioma", "CT000002"), ("seizures", "CT000003")]),
+    ("Fatigue and weakness accompany Sjögren's syndrome.",
+     [("weakness", "CT000009"), ("Sjögren's syndrome", "CT000005")]),
+    ("The seizure lasted under a minute.",
+     [("seizure", "CT000003")]),
+    ("Falls increase sharply with age.",
+     [("Falls", "CT000004")]),
+    ("Glioma growth was stable on riluzole.",
+     [("Glioma", "CT000001"), ("riluzole", "CT000007")]),
+    ("After radiosurgery the seizures stopped.",
+     [("radiosurgery", "CT000008"), ("seizures", "CT000003")]),
+    ("Progressive weakness preceded the ALS diagnosis.",
+     [("weakness", "CT000009"), ("ALS", "CT000006")]),
+]
+
+
+def _gold_starts(text, gold):
+    """All occurrences of each gold surface, longest surfaces claiming
+    their character ranges first (honest overlap labeling: a 'glioma'
+    inside a labeled 'brain glioma' is not a separate mention)."""
+    claimed = []
+    out = set()
+    for surface, cui in sorted(gold, key=lambda g: -len(g[0])):
+        start = 0
+        while True:
+            i = text.find(surface, start)
+            if i < 0:
+                break
+            span = (i, i + len(surface))
+            if not any(a < span[1] and span[0] < b for a, b in claimed):
+                claimed.append(span)
+                out.add((i, cui))
+            start = i + 1
+    return out
+
+
 def test_real_text_precision_recall_floor(models):
-    """North-rule evidence on real English text: annotate held-out
+    """North-rule evidence on real English text: annotate 50 held-out
     sentences with the corpus-trained models and score P/R against
-    hand-labeled gold mentions (exact span+CUI match).  The frozen floor
-    is the north rule's >= 0.95."""
-    gold_docs = [
-        ("A glioma can cause a seizure and progressive weakness.",
-         [("glioma", "CT000001"), ("seizure", "CT000003"),
-          ("weakness", "CT000009")]),
-        ("Radiosurgery is an option for a brain glioma in older adults.",
-         [("Radiosurgery", "CT000008"), ("brain glioma", "CT000002")]),
-        ("ALS progresses from weakness to loss of mobility.",
-         [("ALS", "CT000006"), ("weakness", "CT000009")]),
-        ("Riluzole slows ALS but cannot prevent a fall at home.",
-         [("Riluzole", "CT000007"), ("ALS", "CT000006"),
-          ("fall", "CT000004")]),
-        ("After falling twice the patient developed a seizure disorder.",
-         [("falling", "CT000004"), ("seizure", "CT000003")]),
-        ("Sjögren's syndrome often coexists with weakness and fatigue.",
-         [("Sjögren", "CT000005"), ("weakness", "CT000009")]),
-    ]
+    hand-labeled gold mentions (start+CUI match).  The frozen floor is
+    the north rule's >= 0.95."""
+    assert len(GOLD_DOCS) >= 50
     cdb, vocab = models
     from medcat_ray.core.annotator import DocAnnotator
     ann = DocAnnotator(cdb, vocab, CFG)
 
     tp = fp = fn = 0
-    for text, gold in gold_docs:
+    mismatches = []
+    for text, gold in GOLD_DOCS:
         pred = {(e["start"], e["cui"]) for e in ann.annotate(text)}
-        gold_set = set()
-        for surface, cui in gold:
-            start = text.index(surface)
-            gold_set.add((start, cui))
+        gold_set = _gold_starts(text, gold)
         tp += len(pred & gold_set)
         fp += len(pred - gold_set)
         fn += len(gold_set - pred)
+        if pred != gold_set:
+            mismatches.append((text, sorted(pred), sorted(gold_set)))
     precision = tp / max(1, tp + fp)
     recall = tp / max(1, tp + fn)
-    assert precision >= 0.95, (precision, tp, fp, fn)
-    assert recall >= 0.95, (recall, tp, fp, fn)
+    assert tp + fn >= 60          # the gold set is substantial
+    assert precision >= 0.95, (precision, tp, fp, fn, mismatches[:5])
+    assert recall >= 0.95, (recall, tp, fp, fn, mismatches[:5])
