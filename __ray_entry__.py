@@ -207,6 +207,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs, docs, threshold=0.5).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def _plant_dedup_corpus(sf_dir):
+        """Deterministic near-dup corpus derived from the documents table:
+        keep only doc_ids with doc_id % 10 in {0, 1}; each text becomes a
+        pseudo-random 30-word string seeded by the pair group
+        g = doc_id // 10, so the two members of a complete group carry
+        IDENTICAL text (identical minhash signature → every band matches
+        → guaranteed cluster; identical simhash → Hamming 0 → guaranteed
+        candidate) while texts across groups share no tokens.  The oracle
+        SQL predicts the exact output from doc_id structure alone."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.hashing import stable_u64
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = [i for i in batch["doc_id"].to_pylist() if i % 10 < 2]
+            texts = [" ".join(
+                f"w{stable_u64(f'{i // 10}:{j}'.encode()):016x}"
+                for j in range(30)) for i in ids]
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts, type=pa.string())})
+
+        return ds.map_batches(plant, batch_format="pyarrow")
+
+    def minhash_dedup_planted(sf_dir):
+        """minhash_dedup_clusters over the planted corpus — the full
+        shingle→signature→band→bucket→edge→label machinery runs for real,
+        with a provably-exact SQL answer (identical pair texts)."""
+        from medcat_ray.ops.dedup import minhash_dedup_clusters
+        return minhash_dedup_clusters(_plant_dedup_corpus(sf_dir),
+                                      concurrency=2)
+
+    def simhash_candidates_planted(sf_dir):
+        """simhash_candidates over the planted corpus (Hamming-0 pairs)."""
+        from medcat_ray.ops.dedup import simhash_candidates
+        return simhash_candidates(_plant_dedup_corpus(sf_dir))
+
+    def jaccard_verify_pairs(sf_dir):
+        """Exact n-gram-Jaccard scores for a deterministic candidate-pair
+        set ((doc_id, doc_id+1) for doc_id % 20 == 0) through the
+        distributed two-join verify path — the verification math itself is
+        SQL-checked (DuckDB recomputes the 5-char-shingle Jaccard over the
+        natural texts; hashed vs plain shingles agree absent 64-bit
+        collisions)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.dedup import verify_pairs_jaccard_distributed
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+        def mkpairs(batch: pa.Table) -> pa.Table:
+            ids = [i for i in batch["doc_id"].to_pylist() if i % 20 == 0]
+            return pa.table({"id_a": pa.array(ids, type=pa.int64()),
+                             "id_b": pa.array([i + 1 for i in ids],
+                                              type=pa.int64())})
+
+        pairs = docs.map_batches(mkpairs, batch_format="pyarrow")
+        out = verify_pairs_jaccard_distributed(
+            pairs, docs, threshold=0.0).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def embedding_near_dup_pairs(sf_dir):
         """Near-dup pairs over embeddings AUGMENTED with deterministic
         planted duplicates (vec_id+1000000 = 1.5× the first 20 vectors —
@@ -320,6 +382,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return add_langid(ds, concurrency=2).select_columns(
             ["doc_id", "lang_pred"])
+
+    def langid_planted(sf_dir):
+        """add_langid over canonical per-language sentences planted from
+        the documents table's ``lang`` column — each sentence provably
+        classifies to its language (verified constants), so the oracle is
+        simply ``lang AS lang_pred``.  Proves the actor plumbing, marker
+        argmax and CJK-ratio branches end-to-end; accuracy on natural
+        text is covered by the ≥0.95 unit floor test."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.textstats import add_langid
+        sents = {
+            "en": "the cat and the dog were in the house and it was good"
+                  " for them to be there",
+            "de": "der hund und die katze sind nicht mit der maus in"
+                  " einem haus von der stadt",
+            "fr": "le chien et les chats sont dans la maison pour que les"
+                  " enfants soient avec eux",
+            "es": "el perro y los gatos son una familia que vive con los"
+                  " padres para el futuro",
+            "zh": "这是一个中文句子用于语言识别测试的示例文本内容",
+        }
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            texts = [sents[l] for l in batch["lang"].to_pylist()]
+            return pa.table({"doc_id": batch["doc_id"],
+                             "text": pa.array(texts, type=pa.string())})
+
+        return add_langid(docs.map_batches(plant, batch_format="pyarrow"),
+                          concurrency=2) \
+            .select_columns(["doc_id", "lang_pred"])
 
     def doc_fingerprints(sf_dir):
         import ray.data as rd
@@ -538,20 +633,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "knn_top10": knn_top10,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        # rows-only (non-SQL-expressible)
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "simhash_candidates_docs": simhash_candidates_docs,
-        "jaccard_verified_dups": jaccard_verified_dups,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_ivf_top10": knn_ivf_top10,
         "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
-        "langid_docs": langid_docs,
         "doc_fingerprints": doc_fingerprints,
-        "multimodal_image_stub": multimodal_image_stub,
         "pages_kg_flagship": pages_kg_flagship,
         "pages_kg_triple_counts": pages_kg_triple_counts,
-        "cdb_stats": cdb_stats_query,
         "doc_split": doc_split_query,
+        "minhash_dedup_planted": minhash_dedup_planted,
+        "simhash_candidates_planted": simhash_candidates_planted,
+        "jaccard_verify_pairs": jaccard_verify_pairs,
+        "langid_planted": langid_planted,
+        # rows-only (probabilistic LSH banding / heuristic model / stub)
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_candidates_docs": simhash_candidates_docs,
+        "jaccard_verified_dups": jaccard_verified_dups,
+        "langid_docs": langid_docs,
+        "multimodal_image_stub": multimodal_image_stub,
+        "cdb_stats": cdb_stats_query,
     }
 
 
@@ -758,6 +857,74 @@ ORDER BY score DESC, neighbor_id ASC LIMIT 10
         # _plant_query_copies) — one shared exact brute-force oracle.
         **{name: _KNN_AUG_ORACLE for name in
            ("knn_lsh_top10", "knn_ivf_top10", "knn_ivf_indexed_top10")},
+        # add_split's tag is the first 32 bits of md5(f"split:{key}") —
+        # recomputed here independently by DuckDB's md5().
+        "doc_split": f"""
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::UBIGINT < {int(0.2 * 2**32)}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
+        # rolling_fingerprint = fold (acc*1000003 + codepoint) mod 2^61-1
+        # over the whitespace-collapsed lowercased text — recomputed
+        # exactly in SQL via HUGEINT list_reduce over the codepoints.
+        "doc_fingerprints": r"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::HUGEINT,
+      [unicode(c)::HUGEINT for c in
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+           c -> c <> '')]),
+    (acc, x) -> (acc * 1000003 + x) % 2305843009213693951
+  )::UBIGINT AS fingerprint
+FROM documents
+""",
+        # planted canonical sentences classify provably to their language
+        "langid_planted": """
+SELECT doc_id, lang AS lang_pred FROM documents
+""",
+        # planted corpus (see _plant_dedup_corpus): members of a complete
+        # group {10g, 10g+1} share identical text → provably clustered.
+        "minhash_dedup_planted": """
+WITH g AS (
+  SELECT doc_id // 10 AS grp FROM documents WHERE doc_id % 10 < 2
+  GROUP BY grp HAVING COUNT(*) = 2
+)
+SELECT grp * 10 + m AS doc_id, grp * 10 AS rep
+FROM g, unnest([0, 1]) AS t(m)
+""",
+        "simhash_candidates_planted": """
+WITH g AS (
+  SELECT doc_id // 10 AS grp FROM documents WHERE doc_id % 10 < 2
+  GROUP BY grp HAVING COUNT(*) = 2
+)
+SELECT grp * 10 AS id_a, grp * 10 + 1 AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM g
+""",
+        # independent recomputation of the 5-char-shingle Jaccard for the
+        # deterministic (doc_id, doc_id+1) candidate pairs
+        "jaccard_verify_pairs": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, x, 5)
+                        for x in generate_series(
+                            1, greatest(length(text) - 4, 0))]) AS s
+  FROM documents
+), p AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+            ELSE ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                       (len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s))), 6)
+       END AS jaccard
+FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+""",
         "embedding_near_dup_pairs": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

@@ -180,10 +180,16 @@ class MinHashStage:
                 out_id.append(doc_id)
                 out_band.append(band)
                 out_key.append(band_key(sig, band, self.rows))
+        # bit-wrap the uint64 key into int64 (bijective) like
+        # add_content_hash: Ray's hash-aggregate re-infers key columns
+        # from Python values and falls back to slow pickled-object blocks
+        # for ints ≥ 2^63 — int64 stays native end to end.
+        keys = np.fromiter(out_key, dtype=np.uint64,
+                           count=len(out_key)).view(np.int64)
         return pa.table({
             self.id_col: pa.array(out_id),
             "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_key, type=pa.uint64()),
+            "band_hash": pa.array(keys, type=pa.int64()),
         })
 
 

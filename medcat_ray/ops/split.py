@@ -15,18 +15,24 @@ from typing import Tuple
 import pyarrow as pa
 import ray.data as rd
 
-from medcat_ray.ops.hashing import stable_u64
 
 
 def add_split(ds: rd.Dataset, key_column: str = "doc_id",
               test_fraction: float = 0.2, salt: str = "split") -> rd.Dataset:
-    """Add a ``split`` column ("train"/"test") by hashing the key."""
+    """Add a ``split`` column ("train"/"test") by hashing the key.
+
+    The tag is the first 32 bits (big-endian) of ``md5(f"{salt}:{key}")``
+    — md5 rather than blake2b because ANSI SQL can recompute it
+    (``('0x' || substr(md5(s), 1, 8))::UBIGINT``), so the split is
+    oracle-checkable end-to-end; distribution quality is equivalent."""
+    import hashlib
     threshold = int(test_fraction * 2**32)
 
     def tag(batch: pa.Table) -> pa.Table:
         keys = batch[key_column].to_pylist()
-        splits = ["test" if (stable_u64(f"{salt}:{k}".encode()) & 0xFFFFFFFF)
-                  < threshold else "train" for k in keys]
+        splits = ["test" if int.from_bytes(
+                      hashlib.md5(f"{salt}:{k}".encode()).digest()[:4],
+                      "big") < threshold else "train" for k in keys]
         return batch.append_column("split", pa.array(splits, pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
