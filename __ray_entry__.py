@@ -441,6 +441,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              concurrency=2)
         return imgs
 
+    def multimodal_image_decode(sf_dir):
+        """REAL image decode, oracle-checked: solid-color PPM images are
+        planted deterministically from doc_id (dims and color are doc_id
+        arithmetic), decoded by the builtin netpbm decoder on the actor
+        pool, and the emitted metadata + channel means must equal what
+        SQL predicts from doc_id alone."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.multimodal import decode_images, encode_ppm
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            data = []
+            for i in ids:
+                w, h = 4 + i % 8, 3 + i % 5
+                color = (i % 256, (i * 7) % 256, (i * 13) % 256)
+                data.append(encode_ppm(
+                    np.full((h, w, 3), color, dtype=np.uint8)))
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "data": pa.array(data, type=pa.binary())})
+
+        imgs = decode_images(docs.map_batches(plant,
+                                              batch_format="pyarrow"),
+                             concurrency=2)
+
+        def project(batch: pa.Table) -> pa.Table:
+            metas = batch["image_meta"].to_pylist()
+            feats = batch["features"].to_pylist()
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "width": pa.array([m["width"] for m in metas],
+                                  type=pa.int64()),
+                "height": pa.array([m["height"] for m in metas],
+                                   type=pa.int64()),
+                "mode": pa.array([m["mode"] for m in metas],
+                                 type=pa.string()),
+                "decoder": pa.array([m["decoder"] for m in metas],
+                                    type=pa.string()),
+                "mean_r": pa.array([float(f[0]) for f in feats],
+                                   type=pa.float64()),
+                "mean_g": pa.array([float(f[1]) for f in feats],
+                                   type=pa.float64()),
+                "mean_b": pa.array([float(f[2]) for f in feats],
+                                   type=pa.float64()),
+            })
+
+        return imgs.map_batches(project, batch_format="pyarrow")
+
+    def multimodal_audio_decode(sf_dir):
+        """REAL WAV decode, oracle-checked: square-wave PCM WAV payloads
+        planted from doc_id (length and amplitude are doc_id arithmetic;
+        constant |amplitude| makes every frame RMS exactly A/32768),
+        decoded by the stdlib wave path on the actor pool."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.multimodal import sample_audio_frames
+        import io
+        import wave as wave_mod
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            data = []
+            for i in ids:
+                n = 1000 + (i % 10) * 100          # always divisible by 4
+                amp = 256 * (1 + i % 16)           # /32768 exact in float
+                sq = np.tile(np.array([amp, -amp], dtype=np.int16), n // 2)
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(1000)
+                    wf.writeframes(sq.tobytes())
+                data.append(buf.getvalue())
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "data": pa.array(data, type=pa.binary())})
+
+        aud = sample_audio_frames(docs.map_batches(plant,
+                                                   batch_format="pyarrow"),
+                                  concurrency=2)
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "duration_sec": pa.array(
+                    [float(d) for d in batch["duration_sec"].to_pylist()],
+                    type=pa.float64()),
+                "decoder": batch["decoder"],
+                "e0": pa.array(
+                    [float(f[0]) for f in batch["frame_energy"].to_pylist()],
+                    type=pa.float64()),
+            })
+
+        return aud.map_batches(project, batch_format="pyarrow")
+
     def _pages_dir(sf_dir):
         from medcat_ray.fixtures import pages_from_documents
         docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -644,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates_planted": simhash_candidates_planted,
         "jaccard_verify_pairs": jaccard_verify_pairs,
         "langid_planted": langid_planted,
+        "multimodal_image_decode": multimodal_image_decode,
+        "multimodal_audio_decode": multimodal_audio_decode,
         # rows-only (probabilistic LSH banding / heuristic model / stub)
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_candidates_docs": simhash_candidates_docs,
@@ -879,6 +981,24 @@ SELECT doc_id,
            c -> c <> '')]),
     (acc, x) -> (acc * 1000003 + x) % 2305843009213693951
   )::UBIGINT AS fingerprint
+FROM documents
+""",
+        # planted solid-color PPMs / square-wave WAVs: the REAL builtin
+        # decoders' output is doc_id arithmetic (see the query docstrings)
+        "multimodal_image_decode": """
+SELECT doc_id,
+       4 + doc_id % 8 AS width, 3 + doc_id % 5 AS height,
+       'RGB' AS mode, 'builtin' AS decoder,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+FROM documents
+""",
+        "multimodal_audio_decode": """
+SELECT doc_id,
+       ROUND((1000 + (doc_id % 10) * 100) / 1000.0, 3) AS duration_sec,
+       'wav' AS decoder,
+       ROUND((256 * (1 + doc_id % 16)) / 32768.0, 6) AS e0
 FROM documents
 """,
         # planted canonical sentences classify provably to their language

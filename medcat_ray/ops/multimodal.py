@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBBED: each stage tries the real import in
-``__init__`` and otherwise uses a clearly-marked deterministic fake (or
-raises ``NotImplementedError`` in ``strict`` mode).  The Ray-side plumbing —
-schema, batch sizing for large binary payloads, actor signature, output
-layout — is real and tested.
+Decode paths, in priority order per payload:
+
+* REAL builtin decoders (no external libs): PPM/PGM (binary netpbm) and
+  uncompressed 24/32-bit BMP images decoded with numpy; PCM WAV audio
+  decoded with the stdlib ``wave`` module.  These are complete, exact
+  decoders — not stubs.
+* The optional heavy libraries (PIL / torchaudio / ffmpeg) are tried at
+  actor ``__init__`` and used for formats the builtins don't cover (JPEG,
+  PNG, MP3, …) when present — they are NOT in this container.
+* Anything else falls back to a clearly-marked deterministic fake
+  (``decoder='fake'``), or raises ``NotImplementedError`` under
+  ``strict=True``.
 
 Scale notes: binary payloads dominate block size, so these stages should
 run with a small ``batch_size`` (16-64) and rely on
@@ -23,6 +29,97 @@ import pyarrow as pa
 
 import ray.data as rd
 
+
+# ---------------------------------------------------------------------------
+# Builtin image codecs (pure numpy — real decoders, no external deps)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + \
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_netpbm(data: bytes) -> Optional[Tuple[np.ndarray, str]]:
+    """Decode binary PPM (P6, RGB) / PGM (P5, grayscale) → (pixels, mode).
+
+    Returns None if ``data`` is not a binary netpbm payload.  Handles the
+    standard header grammar: magic, whitespace/comments, width, height,
+    maxval (≤255), one whitespace byte, then raw samples."""
+    if not data or data[:2] not in (b"P5", b"P6"):
+        return None
+    mode = "L" if data[:2] == b"P5" else "RGB"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":          # comment to end of line
+            while pos < len(data) and data[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1                                    # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        return None                             # 16-bit netpbm: unsupported
+    ch = 1 if mode == "L" else 3
+    need = w * h * ch
+    raw = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    pixels = raw.reshape(h, w, ch)
+    return (pixels[:, :, 0] if mode == "L" else pixels), mode
+
+
+def decode_bmp(data: bytes) -> Optional[Tuple[np.ndarray, str]]:
+    """Decode an uncompressed 24/32-bit BI_RGB BMP → ((h, w, 3) RGB, mode).
+
+    Returns None for non-BMP payloads; raises ValueError for BMP variants
+    outside the uncompressed 24/32-bit case (palettes, RLE)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp not in (24, 32) or compression != 0:
+        raise ValueError(f"unsupported BMP variant: {bpp}bpp "
+                         f"compression={compression}")
+    nch = bpp // 8
+    flipped, h = h > 0, abs(h)                  # positive height = bottom-up
+    stride = (w * nch + 3) & ~3                 # rows padded to 4 bytes
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    px = rows[:, :w * nch].reshape(h, w, nch)[:, :, :3][:, :, ::-1]  # BGR→RGB
+    return (px[::-1] if flipped else px).copy(), "RGB"
+
+
+def decode_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode PCM WAV via the stdlib ``wave`` module → (mono float64 in
+    [-1, 1], sample_rate).  Returns None for non-WAV payloads."""
+    import io
+    import wave
+    if not data or data[:4] != b"RIFF":
+        return None
+    with wave.open(io.BytesIO(data)) as wf:
+        n, width, nch = wf.getnframes(), wf.getsampwidth(), wf.getnchannels()
+        raw = wf.readframes(n)
+        rate = wf.getframerate()
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:                            # unsigned 8-bit PCM
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
 IMAGE_META_TYPE = pa.struct([
     ("width", pa.int32()), ("height", pa.int32()),
     ("mode", pa.string()), ("decoder", pa.string()),
@@ -32,23 +129,21 @@ IMAGE_META_TYPE = pa.struct([
 class ImageDecodeStage:
     """binary image → (width, height, mode) metadata + feature vector.
 
-    Real path: PIL (absent here).  Fake path: deterministic pseudo-decode
-    from the byte content (stable hash → dims), marked ``decoder='fake'``.
-    """
+    Decode priority per payload: builtin netpbm/BMP decoders (real, pure
+    numpy) → PIL for other formats when importable (absent here) →
+    deterministic fake marked ``decoder='fake'`` (or
+    ``NotImplementedError`` under ``strict=True``).  The feature vector is
+    the per-channel pixel mean resized to ``feature_dim``."""
 
     def __init__(self, data_col: str = "data", strict: bool = False,
                  feature_dim: int = 8) -> None:
         self.data_col = data_col
+        self.strict = strict
         self.feature_dim = feature_dim
         try:
             from PIL import Image  # noqa: F401  (not in this container)
             self._pil = Image
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "Image decoding requires PIL, which is not available in "
-                    "this environment; run with strict=False for the "
-                    "deterministic fake decoder.")
             self._pil = None
 
     def _fake_decode(self, data: bytes) -> Tuple[int, int, str, np.ndarray]:
@@ -60,21 +155,39 @@ class ImageDecodeStage:
         feat = rng.standard_normal(self.feature_dim).astype(np.float32)
         return width, height, "RGB", feat
 
+    def _features(self, pixels: np.ndarray) -> np.ndarray:
+        arr = np.asarray(pixels, dtype=np.float32)
+        feat = arr.mean(axis=(0, 1)) if arr.ndim == 3 \
+            else np.array([arr.mean()], dtype=np.float32)
+        return np.resize(feat.astype(np.float32), self.feature_dim)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas, feats = [], []
         for data in batch[self.data_col].to_pylist():
+            decoded = decode_netpbm(data) or decode_bmp(data)
+            if decoded is not None:
+                pixels, mode = decoded
+                h, w = pixels.shape[:2]
+                metas.append({"width": w, "height": h, "mode": mode,
+                              "decoder": "builtin"})
+                feats.append(self._features(pixels).tolist())
+                continue
             if self._pil is not None:
                 import io
                 img = self._pil.open(io.BytesIO(data))
-                arr = np.asarray(img, dtype=np.float32)
-                feat = arr.mean(axis=(0, 1)).astype(np.float32)
-                feat = np.resize(feat, self.feature_dim)
                 metas.append({"width": img.width, "height": img.height,
                               "mode": img.mode, "decoder": "pil"})
-            else:
-                w, h, mode, feat = self._fake_decode(data)
-                metas.append({"width": w, "height": h, "mode": mode,
-                              "decoder": "fake"})
+                feats.append(self._features(
+                    np.asarray(img, dtype=np.float32)).tolist())
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is not netpbm/BMP and PIL is not available; "
+                    "run with strict=False for the deterministic fake "
+                    "decoder")
+            w, h, mode, feat = self._fake_decode(data)
+            metas.append({"width": w, "height": h, "mode": mode,
+                          "decoder": "fake"})
             feats.append(feat.tolist())
         cols = {name: batch[name] for name in batch.column_names
                 if name != self.data_col}  # drop binary payload early
@@ -83,33 +196,102 @@ class ImageDecodeStage:
         return pa.table(cols)
 
 
+class ImageResizeStage:
+    """binary image → nearest-neighbor resize → re-encoded PPM binary.
+
+    A REAL transform for builtin-decodable payloads (netpbm/BMP): index
+    the pixel grid at ``round((i + 0.5) * src / dst - 0.5)`` per axis and
+    re-encode as P6.  Non-decodable payloads pass through unchanged with
+    ``resized=False`` (or raise under ``strict=True``)."""
+
+    def __init__(self, width: int, height: int, data_col: str = "data",
+                 strict: bool = False) -> None:
+        self.width = width
+        self.height = height
+        self.data_col = data_col
+        self.strict = strict
+
+    def _resize(self, pixels: np.ndarray) -> np.ndarray:
+        if pixels.ndim == 2:                    # grayscale → RGB for PPM
+            pixels = np.repeat(pixels[:, :, None], 3, axis=2)
+        sh, sw = pixels.shape[:2]
+        ri = np.clip(np.round((np.arange(self.height) + 0.5) * sh
+                              / self.height - 0.5).astype(np.int64),
+                     0, sh - 1)
+        ci = np.clip(np.round((np.arange(self.width) + 0.5) * sw
+                              / self.width - 0.5).astype(np.int64),
+                     0, sw - 1)
+        return pixels[np.ix_(ri, ci)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, flags = [], []
+        for data in batch[self.data_col].to_pylist():
+            decoded = decode_netpbm(data) or decode_bmp(data)
+            if decoded is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "payload is not netpbm/BMP; cannot resize")
+                out.append(data)
+                flags.append(False)
+                continue
+            out.append(encode_ppm(self._resize(decoded[0])))
+            flags.append(True)
+        cols = {name: batch[name] for name in batch.column_names
+                if name != self.data_col}
+        cols[self.data_col] = pa.array(out, type=pa.binary())
+        cols["resized"] = pa.array(flags, type=pa.bool_())
+        return pa.table(cols)
+
+
 class AudioFrameSampleStage:
-    """binary audio → fixed-rate frame sample summary (stubbed decode)."""
+    """binary audio → duration + per-frame RMS energy.
+
+    PCM WAV payloads are decoded for REAL with the stdlib ``wave`` module
+    (``decoder='wav'``): duration = frames / rate, and the signal is cut
+    into ``n_frames`` equal segments whose RMS energies are emitted.
+    Other formats (MP3/OGG — would need ffmpeg, unavailable) fall back to
+    the deterministic fake (``decoder='fake'``), or raise under
+    ``strict=True``."""
 
     def __init__(self, data_col: str = "data", n_frames: int = 4,
                  strict: bool = False) -> None:
         self.data_col = data_col
         self.n_frames = n_frames
-        if strict:
-            raise NotImplementedError(
-                "Audio decoding requires ffmpeg/torchaudio (unavailable); "
-                "strict=False uses the deterministic fake sampler.")
+        self.strict = strict
+
+    def _energies(self, samples: np.ndarray) -> np.ndarray:
+        segs = np.array_split(samples, self.n_frames)
+        return np.array([np.sqrt(np.mean(np.square(s))) if len(s) else 0.0
+                         for s in segs], dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from medcat_ray.ops.hashing import stable_u64
-        frames = []
-        durations = []
+        frames, durations, decoders = [], [], []
         for data in batch[self.data_col].to_pylist():
+            decoded = decode_wav(data)
+            if decoded is not None:
+                samples, rate = decoded
+                durations.append(round(len(samples) / rate, 3))
+                frames.append(self._energies(samples).tolist())
+                decoders.append("wav")
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is not PCM WAV and ffmpeg/torchaudio are "
+                    "unavailable; run with strict=False for the "
+                    "deterministic fake sampler")
             h = stable_u64(data or b"")
             duration = 1.0 + (h % 300) / 10.0
             rng = np.random.default_rng(h & 0xFFFFFFFF)
             frames.append(rng.standard_normal(self.n_frames)
                           .astype(np.float32).tolist())
             durations.append(round(duration, 3))
+            decoders.append("fake")
         cols = {name: batch[name] for name in batch.column_names
                 if name != self.data_col}
         cols["duration_sec"] = pa.array(durations, type=pa.float32())
         cols["frame_energy"] = pa.array(frames, type=pa.list_(pa.float32()))
+        cols["decoder"] = pa.array(decoders, type=pa.string())
         return pa.table(cols)
 
 
@@ -118,6 +300,18 @@ def decode_images(ds: rd.Dataset, data_col: str = "data",
     """Actor-pool image decode; small batches — binary payloads are wide."""
     return ds.map_batches(ImageDecodeStage,
                           fn_constructor_kwargs=dict(data_col=data_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def resize_images(ds: rd.Dataset, width: int, height: int,
+                  data_col: str = "data", concurrency: int = 2,
+                  batch_size: int = 32) -> rd.Dataset:
+    """Actor-pool nearest-neighbor resize for builtin-decodable images."""
+    return ds.map_batches(ImageResizeStage,
+                          fn_constructor_kwargs=dict(width=width,
+                                                     height=height,
+                                                     data_col=data_col),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
 
