@@ -351,7 +351,8 @@ def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
                            id_col: str = "doc_id", text_col: str = "text",
                            concurrency: int = 4,
-                           method: str = "driver") -> rd.Dataset:
+                           method: str = "auto",
+                           driver_limit: int = 2_000_000) -> rd.Dataset:
     """Near-dup clusters: (doc_id, rep) with rep = min doc id of the
     connected component induced by shared LSH buckets.
 
@@ -359,17 +360,24 @@ def minhash_dedup_clusters(ds: rd.Dataset, num_perm: int = 64,
     distributed (map_batches + one groupby on the uniform band hash).
     Component resolution over the star edges has two paths:
 
-    * ``method="driver"`` (default): the edge list — docs sharing at least
-      one bucket, volume ∝ duplicate rate — comes to the driver for an
-      exact union-find.  The small/medium-corpus fast path.
+    * ``method="driver"``: the edge list — docs sharing at least one
+      bucket, volume ∝ duplicate rate — comes to the driver for an exact
+      union-find.  The small/medium-corpus fast path.
     * ``method="distributed"``: iterated min-label propagation (join +
       groupby-min per round) entirely inside the object store — the
       10^12-doc path where the edge table no longer fits on the driver.
+    * ``method="auto"`` (default): counts the (already materialized) edge
+      table and picks — ≤ ``driver_limit`` edges union-find on the
+      driver, above it nothing O(dup-rate × corpus) leaves the store.
 
-    Both produce identical (id, rep) labels (unit-tested, including
+    Both paths produce identical (id, rep) labels (unit-tested, including
     chained components A~C, B~C with A !~ B)."""
     edges = minhash_star_edges(ds, num_perm, bands, shingle_k, id_col,
                                text_col, concurrency)
+    if method == "auto":
+        edges = edges.materialize()
+        method = "driver" if edges.count() <= driver_limit \
+            else "distributed"
     if method == "distributed":
         return _propagate_labels(edges, id_col)
     return rd.from_pandas(_unionfind_labels(edges.to_pandas(), id_col))
@@ -390,8 +398,13 @@ def minhash_dedup(ds: rd.Dataset, num_partitions: Optional[int] = None,
     O(dup-rate × corpus) ever comes to the driver.  Outputs equal the
     broadcast path (unit-tested)."""
     id_col = kw.get("id_col", "doc_id")
-    method = kw.get("method", "driver")
+    method = kw.get("method", "auto")
     clusters = minhash_dedup_clusters(ds, **kw)
+    if method == "auto":
+        # the label table is O(dup docs); gate the broadcast filter on it
+        clusters = clusters.materialize()
+        method = "driver" if clusters.count() <= \
+            kw.get("driver_limit", 2_000_000) else "distributed"
 
     if method == "distributed":
         def nonrep_ids(batch: pa.Table) -> pa.Table:
