@@ -153,10 +153,46 @@ def exact_dup_stats(ds: rd.Dataset, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-class MinHashStage:
-    """Actor-pool batch op: text → MinHash signature + LSH band keys.
+def _minhash_band_table(batch: pa.Table, a: np.ndarray, b: np.ndarray,
+                        bands: int, rows: int, shingle_k: int,
+                        id_col: str, text_col: str) -> pa.Table:
+    """text → MinHash signature → LSH band-key rows, one pass.
 
-    Permutation params are built once per actor in ``__init__``."""
+    Signature math is per-doc (a (num_perm × n_shingles) temporary that
+    stays L2-resident beats a batch-wide matrix by ~30× — measured); row
+    assembly is vectorized (``take`` on repeated indices, no Python-list
+    growth across the bands explosion)."""
+    texts = batch[text_col].to_pylist()
+    n = batch.num_rows
+    keys = np.empty(n * bands, dtype=np.uint64)
+    pos = 0
+    for text in texts:
+        sh = shingle_hashes(text or "", shingle_k)
+        sig = minhash_signature(sh, a, b)
+        for band in range(bands):
+            keys[pos] = band_key(sig, band, rows)
+            pos += 1
+    ids = pc.take(batch[id_col].combine_chunks(),
+                  pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
+    band_col = np.tile(np.arange(bands, dtype=np.int32), n)
+    # bit-wrap the uint64 key into int64 (bijective) like
+    # add_content_hash: Ray's hash-aggregate re-infers key columns
+    # from Python values and falls back to slow pickled-object blocks
+    # for ints ≥ 2^63 — int64 stays native end to end.
+    return pa.table({
+        id_col: ids,
+        "band": pa.array(band_col, type=pa.int32()),
+        "band_hash": pa.array(keys.view(np.int64), type=pa.int64()),
+    })
+
+
+class MinHashStage:
+    """Batch op: text → MinHash signature + LSH band keys.
+
+    Permutation params are built once in ``__init__``.  The state is tiny
+    (2 × num_perm uint64), so this also serializes cheaply as a plain
+    task-pool callable — no actor pool needed (see
+    :func:`minhash_buckets`)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
                  shingle_k: int = 5, id_col: str = "doc_id",
@@ -170,40 +206,26 @@ class MinHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sh = shingle_hashes(text or "", self.shingle_k)
-            sig = minhash_signature(sh, self.a, self.b)
-            for band in range(self.bands):
-                out_id.append(doc_id)
-                out_band.append(band)
-                out_key.append(band_key(sig, band, self.rows))
-        # bit-wrap the uint64 key into int64 (bijective) like
-        # add_content_hash: Ray's hash-aggregate re-infers key columns
-        # from Python values and falls back to slow pickled-object blocks
-        # for ints ≥ 2^63 — int64 stays native end to end.
-        keys = np.fromiter(out_key, dtype=np.uint64,
-                           count=len(out_key)).view(np.int64)
-        return pa.table({
-            self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(keys, type=pa.int64()),
-        })
+        return _minhash_band_table(batch, self.a, self.b, self.bands,
+                                   self.rows, self.shingle_k, self.id_col,
+                                   self.text_col)
 
 
 def minhash_buckets(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                     shingle_k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text",
                     concurrency: int = 4) -> rd.Dataset:
-    """(id, band, band_hash) rows — the exploded LSH index."""
-    return ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, id_col=id_col,
-                                   text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
+    """(id, band, band_hash) rows — the exploded LSH index.
+
+    Runs as a TASK pool, not an actor pool: the only per-worker state is
+    the 1 KB permutation-parameter pair, so pinning actors would pay pool
+    spin-up (~seconds) for nothing.  ``concurrency`` is kept for API
+    stability but tasks schedule freely."""
+    del concurrency  # task pool: scheduler-managed parallelism
+    stage = MinHashStage(num_perm=num_perm, bands=bands,
+                         shingle_k=shingle_k, id_col=id_col,
+                         text_col=text_col)
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 def _unionfind_labels(edge_df: pd.DataFrame, id_col: str) -> pd.DataFrame:
@@ -306,18 +328,48 @@ def _propagate_labels(edges: rd.Dataset, id_col: str,
 def minhash_star_edges(ds: rd.Dataset, num_perm: int = 64,
                        bands: int = 16, shingle_k: int = 5,
                        id_col: str = "doc_id", text_col: str = "text",
-                       concurrency: int = 4) -> rd.Dataset:
+                       concurrency: int = 4, method: str = "auto",
+                       bucket_driver_limit: int = 4_000_000) -> rd.Dataset:
     """(id, rep) star edges: rep = min doc id of each shared LSH bucket.
 
     Star edges WITHOUT a per-group Python call (map_groups pays ~100µs
     of pandas overhead per bucket — 70k tiny buckets made it the whole
     wall time): one NATIVE groupby computes each bucket's (min id, size);
     only NON-singleton buckets — volume ∝ duplicate rate, not corpus
-    size — are broadcast and probed per batch to emit (id, rep) edges."""
+    size — are broadcast (per-band sorted hash arrays) and probed per
+    batch with ``searchsorted`` to emit (id, rep) edges.  The bucket
+    table is materialized ONCE — it feeds both the groupby and the probe
+    (lazy re-execution would run the signature stage twice).  Edges are
+    deduplicated per batch: near-identical docs collide in most of their
+    ``bands`` buckets with the same representative, so the unique pass
+    shrinks the edge table ~bands× before the cluster step counts it.
+
+    Bucket-representative resolution is auto-gated like the cluster and
+    representative steps: the distributed groupby spins aggregator actors
+    whose fixed spin-up dwarfs small inputs, so when the (already
+    materialized) bucket table is ≤ ``bucket_driver_limit`` rows
+    (id + band + hash ≈ 24 B/row) it is resolved with one driver-side
+    vectorized pass instead; above the limit — the 10^12-doc path — the
+    NATIVE hash-partitioned groupby runs and nothing corpus-sized leaves
+    the store."""
     import ray
 
     buckets = minhash_buckets(ds, num_perm, bands, shingle_k, id_col,
-                              text_col, concurrency)
+                              text_col, concurrency).materialize()
+    if method == "auto":
+        method = "driver" if buckets.count() <= bucket_driver_limit \
+            else "distributed"
+
+    if method == "driver":
+        bdf = buckets.to_pandas()
+        grp = bdf.groupby(["band", "band_hash"], sort=False)[id_col]
+        rep = grp.transform("min")
+        n = grp.transform("size")
+        hit = bdf[n > 1]
+        edges = pd.DataFrame({id_col: hit[id_col],
+                              "rep": rep[n > 1]}).drop_duplicates()
+        return rd.from_pandas(edges.reset_index(drop=True))
+
     bucket_rep = buckets.groupby(["band", "band_hash"]).aggregate(
         Min(id_col, alias_name="rep"), Count(alias_name="n"))
 
@@ -326,23 +378,38 @@ def minhash_star_edges(ds: rd.Dataset, num_perm: int = 64,
 
     cand = bucket_rep.map_batches(non_singleton,
                                   batch_format="pyarrow").to_pandas()
-    rep_map = {(b, h): r for b, h, r in zip(cand["band"], cand["band_hash"],
-                                            cand["rep"])}
-    rep_ref = ray.put(rep_map)
+    # per-band sorted (hash → rep) arrays: exact, vectorized probes
+    band_tables = {}
+    for b in range(bands):
+        sel = cand[cand["band"] == b]
+        order = np.argsort(sel["band_hash"].to_numpy(), kind="stable")
+        band_tables[b] = (sel["band_hash"].to_numpy()[order],
+                          sel["rep"].to_numpy()[order])
+    rep_ref = ray.put(band_tables)
 
     def probe(batch: pa.Table) -> pa.Table:
-        reps = ray.get(rep_ref)
-        ids_out, reps_out = [], []
-        for doc_id, band, bhash in zip(batch[id_col].to_pylist(),
-                                       batch["band"].to_pylist(),
-                                       batch["band_hash"].to_pylist()):
-            rep = reps.get((band, bhash))
-            if rep is not None:
-                ids_out.append(doc_id)
-                reps_out.append(rep)
+        tables = ray.get(rep_ref)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        bd = batch["band"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(bh), dtype=bool)
+        rep_at = np.empty(len(bh), dtype=object)
+        for b, (hashes, reps) in tables.items():
+            m = bd == b
+            if len(hashes) == 0 or not m.any():
+                continue
+            v = bh[m]
+            pos = np.minimum(np.searchsorted(hashes, v), len(hashes) - 1)
+            found = hashes[pos] == v
+            sub = np.zeros(len(bh), dtype=bool)
+            sub[np.flatnonzero(m)[found]] = True
+            hit |= sub
+            rep_at[sub] = reps[pos[found]]
         id_type = batch[id_col].type  # keep typed even when empty
-        return pa.table({id_col: pa.array(ids_out, type=id_type),
-                         "rep": pa.array(reps_out, type=id_type)})
+        out = pd.DataFrame({id_col: ids[hit],
+                            "rep": rep_at[hit]}).drop_duplicates()
+        return pa.table({id_col: pa.array(out[id_col], type=id_type),
+                         "rep": pa.array(out["rep"], type=id_type)})
 
     return buckets.map_batches(probe, batch_format="pyarrow")
 
@@ -467,14 +534,23 @@ def _simhash_block(h: np.ndarray, b: int) -> np.ndarray:
 
 
 def simhash_candidates(ds: rd.Dataset, id_col: str = "doc_id",
-                       text_col: str = "text") -> rd.Dataset:
+                       text_col: str = "text", method: str = "auto",
+                       bucket_driver_limit: int = 4_000_000) -> rd.Dataset:
     """Near-dup candidate pairs: all doc pairs at SimHash Hamming
     distance ≤ 3 (exact by the 3-of-6-block pigeonhole; see scheme above).
 
     Shape: vectorized explode to 20 (bucket, id, simhash) rows per doc →
     one NATIVE groupby-count prunes singleton buckets (collision volume ∝
     near-dup rate, not corpus size) → vectorized XOR+popcount pair check
-    inside the surviving buckets only → distinct over pair keys."""
+    inside the surviving buckets only → distinct over pair keys.
+
+    Like the MinHash bucket step, candidate resolution is auto-gated: the
+    distributed path costs three groupby shuffles whose aggregator-actor
+    spin-up dwarfs small inputs, so a ≤ ``bucket_driver_limit``-row
+    exploded table (20 rows/doc × 24 B) resolves in one vectorized
+    driver pass — identical pairs, same triu/popcount kernels.  Above the
+    limit the NATIVE shuffles run and nothing corpus-sized leaves the
+    store."""
     import ray
     from medcat_ray.ops.hashing import popcount64
 
@@ -499,7 +575,52 @@ def simhash_candidates(ds: rd.Dataset, id_col: str = "doc_id",
                                 type=pa.uint64()),
         })
 
-    exploded = sims.map_batches(explode, batch_format="pyarrow")
+    # materialized ONCE: it feeds both the count groupby and the keep_hot
+    # probe — lazy re-execution would run simhashing + explode twice
+    exploded = sims.map_batches(explode, batch_format="pyarrow") \
+        .materialize()
+    if method == "auto":
+        method = "driver" if exploded.count() <= bucket_driver_limit \
+            else "distributed"
+
+    if method == "driver":
+        df = exploded.to_pandas()
+        bk = df["bucket"].to_numpy().astype(np.uint64)
+        order = np.argsort(bk, kind="stable")
+        bk_s = bk[order]
+        ids_s = df[id_col].to_numpy()[order]
+        h_s = df["simhash"].to_numpy().astype(np.uint64)[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], bk_s[1:] != bk_s[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bk_s)]])
+        big = (ends - starts) > 1
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        out_h: List[np.ndarray] = []
+        for s, e in zip(starts[big], ends[big]):
+            gi, gh = ids_s[s:e], h_s[s:e]
+            srt = np.argsort(gi, kind="stable")
+            gi, gh = gi[srt], gh[srt]
+            iu, ju = np.triu_indices(e - s, k=1)
+            ham = popcount64(gh[iu] ^ gh[ju])
+            keep = (ham <= _SIM_HAM_MAX) & (gi[iu] != gi[ju])
+            out_a.append(gi[iu][keep])
+            out_b.append(gi[ju][keep])
+            out_h.append(ham[keep])
+        if out_a and sum(len(x) for x in out_a):
+            pdf = pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }).groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+        else:
+            pdf = pd.DataFrame({
+                "id_a": pd.Series([], dtype=df[id_col].dtype),
+                "id_b": pd.Series([], dtype=df[id_col].dtype),
+                "hamming": pd.Series([], dtype="int64"),
+            })
+        return rd.from_pandas(pdf.reset_index(drop=True))
+
     counts = exploded.groupby("bucket").aggregate(Count(alias_name="n"))
 
     def non_singleton(batch: pa.Table) -> pa.Table:
