@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from medcat_ray.ops.hashing import (band_key, minhash_params,
+from medcat_ray.ops.hashing import (band_key, band_keys, minhash_params,
                                     minhash_signature, shingle_hashes,
                                     simhash64, stable_u64, text_hashes)
 
@@ -164,14 +164,14 @@ def _minhash_band_table(batch: pa.Table, a: np.ndarray, b: np.ndarray,
     growth across the bands explosion)."""
     texts = batch[text_col].to_pylist()
     n = batch.num_rows
-    keys = np.empty(n * bands, dtype=np.uint64)
-    pos = 0
-    for text in texts:
+    sigs = np.empty((n, bands * rows), dtype=np.uint64)
+    for i, text in enumerate(texts):
         sh = shingle_hashes(text or "", shingle_k)
-        sig = minhash_signature(sh, a, b)
-        for band in range(bands):
-            keys[pos] = band_key(sig, band, rows)
-            pos += 1
+        sigs[i] = minhash_signature(sh, a, b)
+    keys = np.empty((n, bands), dtype=np.uint64)
+    for band in range(bands):
+        keys[:, band] = band_keys(sigs, band * rows, (band + 1) * rows)
+    keys = keys.reshape(-1)
     ids = pc.take(batch[id_col].combine_chunks(),
                   pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
     band_col = np.tile(np.arange(bands, dtype=np.int32), n)

@@ -102,7 +102,20 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray,
 
 def band_key(sig: np.ndarray, band: int, rows: int) -> int:
     """Stable hash of one LSH band slice of a signature."""
-    return stable_u64(sig[band * rows:(band + 1) * rows].tobytes())
+    return int(band_keys(sig[None, :], band * rows, (band + 1) * rows)[0])
+
+
+def band_keys(sigs: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Vectorized band keys for a (n_docs, num_perm) signature matrix:
+    splitmix-finalized polynomial over the band's signature rows (columns
+    ``lo:hi``), mod 2^64.  Equal band slices ⇒ equal keys (what LSH
+    bucketing needs); pure arithmetic so a SQL oracle can recompute it
+    exactly (unlike a digest) — see __ray_entry__ ``minhash_dedup_docs``."""
+    with np.errstate(over="ignore"):
+        h = np.zeros(sigs.shape[0], dtype=np.uint64)
+        for c in range(lo, hi):
+            h = h * _POLY_BASE + sigs[:, c]
+    return _mix64(h)
 
 
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray = None) -> int:
