@@ -166,14 +166,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "start_pos", "cui"])
         return stats.prf_per_cui(pred, gold)
 
-    # --- rows-only (non-SQL) ---------------------------------------------
-
     def minhash_dedup_docs(sf_dir):
+        """MinHash-LSH near-dup clusters over the NATURAL corpus —
+        oracle-checked: ops/sql_oracle.py re-derives every arithmetic step
+        (shingle hash → signature → band key → closure) in DuckDB."""
         import ray.data as rd
         from medcat_ray.ops.dedup import minhash_dedup_clusters
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
         return minhash_dedup_clusters(ds, concurrency=2)
+
+    # --- rows-only (non-SQL) unless the docstring says oracle-checked ----
 
     def simhash_candidates_docs(sf_dir):
         import ray.data as rd
@@ -185,8 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def jaccard_verified_dups(sf_dir):
         """Composed dedup pipeline: MinHash-LSH candidate clusters →
         (member, rep) pairs → exact n-gram-Jaccard verification through
-        the join-based distributed path (rows-only: LSH banding is
-        probabilistic)."""
+        the join-based distributed path.  Oracle-checked: DuckDB re-runs
+        the full LSH arithmetic AND rescoring (ops/sql_oracle.py)."""
         import pyarrow as pa
         import ray.data as rd
         from medcat_ray.ops.dedup import (minhash_dedup_clusters,
@@ -777,6 +780,16 @@ ORDER BY score DESC, neighbor_id ASC LIMIT 10
 """
 
 
+def _minhash_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import minhash_clusters_oracle_sql
+    return minhash_clusters_oracle_sql() + "\nORDER BY doc_id"
+
+
+def _jaccard_dups_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import jaccard_verified_dups_oracle_sql
+    return jaccard_verified_dups_oracle_sql() + "\nORDER BY id_a, id_b"
+
+
 def oracle_sql() -> dict[str, str]:
     from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
                                               entities_oracle_sql,
@@ -1005,6 +1018,11 @@ FROM documents
         "langid_planted": """
 SELECT doc_id, lang AS lang_pred FROM documents
 """,
+        # full arithmetic twin of the NATURAL-corpus minhash pipeline:
+        # DuckDB recomputes shingle hashes, signatures, band keys, bucket
+        # star edges and the component closure (ops/sql_oracle.py)
+        "minhash_dedup_docs": _minhash_oracle(),
+        "jaccard_verified_dups": _jaccard_dups_oracle(),
         # planted corpus (see _plant_dedup_corpus): members of a complete
         # group {10g, 10g+1} share identical text → provably clustered.
         "minhash_dedup_planted": """

@@ -1,0 +1,171 @@
+"""DuckDB SQL builders that recompute the MinHash-LSH dedup pipeline.
+
+These exist so the *natural-corpus* dedup queries can be oracle-checked:
+every arithmetic step of ``ops/hashing.py`` (polynomial shingle hash →
+splitmix64 finalizer → affine minhash permutations → polynomial band keys)
+is re-expressed in portable integer SQL, and the LSH bucket → star-edge →
+connected-component labeling is re-expressed as a recursive CTE.  DuckDB
+then reproduces ``minhash_dedup_clusters`` output bit-for-bit — no planted
+corpus needed.
+
+Arithmetic notes
+----------------
+* Python does uint64 wraparound; SQL lacks it, so everything runs in
+  HUGEINT (int128) with explicit ``% 2^64``.
+* ``x >> s`` becomes ``x // 2^s`` (values are non-negative).
+* 64×64→64-bit multiplication would overflow int128's ~38 significant
+  digits via naive ``(a*b) % 2^64`` only when both operands approach
+  2^64 — splitmix's odd 64-bit constants do — so :func:`_mulmod64`
+  splits the constant into 32-bit halves (schoolbook low-word product).
+* DuckDB's recursive CTE re-evaluates every upstream CTE it references on
+  EACH fixpoint iteration; ``MATERIALIZED`` on the edge table is what
+  keeps the oracle O(pipeline + closure) instead of O(pipeline × rounds).
+
+Assumption: every text has at least ``shingle_k`` characters (the Python
+short-text path hashes the whole text instead; the driver's test tables
+satisfy this — shortest sf0.01 text is 44 chars).
+"""
+
+from __future__ import annotations
+
+from medcat_ray.ops.hashing import (MERSENNE_PRIME, _POLY_BASE, _POLY_MIX,
+                                    minhash_params)
+
+_M64 = str(1 << 64)
+_P = int(_POLY_BASE)
+
+
+def _mulmod64(expr: str, const: int) -> str:
+    """SQL for ``(expr * const) % 2**64`` safe against int128 overflow:
+    splits ``const`` into 32-bit halves so no intermediate product exceeds
+    ~2^96."""
+    c0, c1 = const % 2**32, const // 2**32
+    return (f"((({expr}) % 4294967296) * {c0} + (((({expr}) // 4294967296)"
+            f" * {c0} + (({expr}) % 4294967296) * {c1}) % 4294967296)"
+            f" * 4294967296) % {_M64}")
+
+
+def mix64_sql(expr: str) -> str:
+    """SQL equivalent of hashing._mix64 (splitmix64 finalizer)."""
+    h = f"(({expr}) + {int(_POLY_MIX)}) % {_M64}"
+    h = f"xor({h}, ({h}) // {1 << 30})"
+    h = _mulmod64(h, 0xBF58476D1CE4E5B9)
+    h = f"xor({h}, ({h}) // {1 << 27})"
+    h = _mulmod64(h, 0x94D049BB133111EB)
+    return f"xor({h}, ({h}) // {1 << 31})"
+
+
+def shingle_cte_sql(table: str, id_col: str, text_col: str,
+                    shingle_k: int) -> str:
+    """CTEs ``pos`` / ``sh``: distinct k-char-shingle hashes per doc —
+    SQL twin of hashing.shingle_hashes (texts >= k chars)."""
+    def cp(j: int) -> str:
+        return f"CAST(unicode(substr({text_col}, x+{j}, 1)) AS HUGEINT)"
+
+    poly = cp(0)
+    for j in range(1, shingle_k):
+        poly = f"(({poly}) * {_P} + {cp(j)}) % {_M64}"
+    return f"""
+pos AS (
+  SELECT {id_col}, {text_col},
+         unnest(generate_series(1, greatest(length({text_col})
+                                            - {shingle_k - 1}, 1))) AS x
+  FROM {table}
+),
+sh AS (SELECT DISTINCT {id_col}, {mix64_sql(poly)} AS sh FROM pos)"""
+
+
+def minhash_clusters_oracle_sql(num_perm: int = 64, bands: int = 16,
+                                shingle_k: int = 5, seed: int = 1,
+                                table: str = "documents",
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """Full SQL twin of ops.dedup.minhash_dedup_clusters (defaults match):
+    shingles → 32-bit minhash signature → per-band polynomial keys →
+    bucket star edges (min-id rep, non-singleton buckets) → transitive
+    closure → (doc_id, rep = component min id) for clustered docs."""
+    rows = num_perm // bands
+    a, b = minhash_params(num_perm, seed=seed)
+    perm_vals = ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+                          for i in range(num_perm))
+    # pivot each band's `rows` signature slots into columns, then fold the
+    # polynomial band key over them (hashing.band_keys)
+    slot = lambda j: f"MAX(CASE WHEN i % {rows} = {j} THEN m END)"
+    poly = slot(0)
+    for j in range(1, rows):
+        poly = f"(({poly}) * {_P} + {slot(j)}) % {_M64}"
+    return f"""
+WITH RECURSIVE {shingle_cte_sql(table, id_col, text_col, shingle_k)},
+perms(i, a, b) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT sh.{id_col}, perms.i,
+         MIN(((perms.a * sh.sh + perms.b) % {_M64})
+             % {int(MERSENNE_PRIME)} % 4294967296) AS m
+  FROM sh CROSS JOIN perms GROUP BY sh.{id_col}, perms.i
+),
+bkey AS (
+  SELECT {id_col}, i // {rows} AS band, {mix64_sql(poly)} AS key
+  FROM sig GROUP BY {id_col}, i // {rows}
+),
+bucket_rep AS (
+  SELECT band, key, MIN({id_col}) AS rep, COUNT(*) AS n
+  FROM bkey GROUP BY band, key
+),
+edges AS (
+  SELECT DISTINCT k.{id_col} AS node, r.rep
+  FROM bkey k JOIN bucket_rep r ON k.band = r.band AND k.key = r.key
+  WHERE r.n > 1
+),
+sym AS MATERIALIZED (
+  SELECT node, rep AS nbr FROM edges
+  UNION
+  SELECT rep AS node, node AS nbr FROM edges
+),
+lab AS (
+  SELECT node, nbr AS label FROM sym
+  UNION
+  SELECT s.node, l.label FROM sym s JOIN lab l ON l.node = s.nbr
+)
+SELECT node AS {id_col}, MIN(LEAST(label, node)) AS rep
+FROM lab GROUP BY node"""
+
+
+def jaccard_verified_dups_oracle_sql(threshold: float = 0.5,
+                                     shingle_k: int = 5,
+                                     table: str = "documents",
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text") -> str:
+    """SQL twin of the composed `jaccard_verified_dups` query: MinHash-LSH
+    clusters → (rep, member) candidate pairs → exact k-char-shingle
+    Jaccard (plain substrings; equals the engine's hashed shingles absent
+    64-bit collisions) → keep pairs >= threshold."""
+    clusters = minhash_clusters_oracle_sql(
+        table=table, id_col=id_col, text_col=text_col, shingle_k=shingle_k)
+    # reuse the cluster query verbatim as a sub-select (it owns the
+    # WITH RECURSIVE prefix), then rescore pairs against the raw texts
+    return f"""
+WITH clusters AS MATERIALIZED ({clusters}),
+shset AS (
+  SELECT {id_col},
+         list_distinct([substr({text_col}, x, {shingle_k})
+                        for x in generate_series(
+                            1, greatest(length({text_col})
+                                        - {shingle_k - 1}, 0))]) AS s
+  FROM {table}
+),
+pairs AS (
+  SELECT rep AS id_a, {id_col} AS id_b FROM clusters
+  WHERE {id_col} <> rep
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+              ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         END AS jaccard
+  FROM pairs p
+  JOIN shset a ON a.{id_col} = p.id_a
+  JOIN shset b ON b.{id_col} = p.id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM scored WHERE jaccard >= {threshold}"""
