@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- rows-only (non-SQL) unless the docstring says oracle-checked ----
 
     def simhash_candidates_docs(sf_dir):
+        """SimHash Hamming≤3 candidate pairs over the NATURAL corpus —
+        oracle-checked: DuckDB recomputes token hashes, the 64-bit vote,
+        Manku block keys and bucketed xor+bit_count (ops/sql_oracle.py)."""
         import ray.data as rd
         from medcat_ray.ops.dedup import simhash_candidates
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -790,6 +793,11 @@ def _jaccard_dups_oracle() -> str:
     return jaccard_verified_dups_oracle_sql() + "\nORDER BY id_a, id_b"
 
 
+def _simhash_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import simhash_candidates_oracle_sql
+    return simhash_candidates_oracle_sql() + "\nORDER BY id_a, id_b"
+
+
 def oracle_sql() -> dict[str, str]:
     from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
                                               entities_oracle_sql,
@@ -1023,6 +1031,7 @@ SELECT doc_id, lang AS lang_pred FROM documents
         # star edges and the component closure (ops/sql_oracle.py)
         "minhash_dedup_docs": _minhash_oracle(),
         "jaccard_verified_dups": _jaccard_dups_oracle(),
+        "simhash_candidates_docs": _simhash_oracle(),
         # planted corpus (see _plant_dedup_corpus): members of a complete
         # group {10g, 10g+1} share identical text → provably clustered.
         "minhash_dedup_planted": """

@@ -37,8 +37,9 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from medcat_ray.ops.hashing import (band_key, band_keys, minhash_params,
-                                    minhash_signature, shingle_hashes,
-                                    simhash64, stable_u64, text_hashes)
+                                    minhash_signature, poly_hashes,
+                                    shingle_hashes, simhash64, stable_u64,
+                                    text_hashes)
 
 # ---------------------------------------------------------------------------
 # Exact dedup (D-exact)
@@ -507,10 +508,8 @@ def add_simhash(ds: rd.Dataset, text_col: str = "text",
     def _sim(batch: pa.Table) -> pa.Table:
         out = []
         for text in batch[text_col].to_pylist():
-            toks = (text or "").lower().split()
-            th = np.fromiter((stable_u64(t.encode()) for t in set(toks)),
-                             dtype=np.uint64, count=len(set(toks)))
-            out.append(simhash64(th))
+            toks = sorted(set((text or "").lower().split()))
+            out.append(simhash64(poly_hashes(toks)))
         return batch.append_column(out_col, pa.array(out, type=pa.uint64()))
     return ds.map_batches(_sim, batch_format="pyarrow")
 

@@ -118,6 +118,29 @@ def band_keys(sigs: np.ndarray, lo: int, hi: int) -> np.ndarray:
     return _mix64(h)
 
 
+def poly_hashes(strs: List[str]) -> np.ndarray:
+    """Vectorized full-string hashes: the shingle polynomial + splitmix64
+    finalizer applied to each whole string (uint64).  Used for SimHash
+    token hashing — pure arithmetic, so a SQL oracle can recompute it
+    (DuckDB ``list_reduce`` over codepoints; see ops/sql_oracle.py),
+    unlike a blake2b digest."""
+    if not strs:
+        return np.array([], dtype=np.uint64)
+    arrs = [np.frombuffer(s.encode("utf-32-le", "surrogatepass"),
+                          dtype=np.uint32) for s in strs]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    max_len = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(strs), max_len), dtype=np.uint64)
+    for i, a in enumerate(arrs):
+        mat[i, :len(a)] = a
+    h = np.zeros(len(strs), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for t in range(max_len):   # max token length iterations, not n
+            active = t < lens
+            h[active] = h[active] * _POLY_BASE + mat[active, t]
+    return _mix64(h)
+
+
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray = None) -> int:
     """64-bit SimHash over token hashes (bit-vote with optional weights)."""
     if token_hashes.size == 0:

@@ -130,6 +130,65 @@ SELECT node AS {id_col}, MIN(LEAST(label, node)) AS rep
 FROM lab GROUP BY node"""
 
 
+def simhash_candidates_oracle_sql(table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """SQL twin of ops.dedup.simhash_candidates: lowercase-whitespace
+    tokens → distinct poly+splitmix64 token hashes (hashing.poly_hashes)
+    → 64-bit SimHash bit vote → Manku 3-of-6-block bucket keys →
+    bucketed pair check, exact Hamming ≤ 3 via xor+bit_count.
+
+    Emits (id_a, id_b, hamming) with id_a < id_b, deduplicated across the
+    20 bucket tables.  Assumes every doc has ≥1 token (docs with none get
+    simhash 0 in Python; such rows would need a COALESCE branch here)."""
+    from medcat_ray.ops.dedup import (_SIM_COMBOS, _SIM_HAM_MAX, _SIM_OFFS,
+                                      _SIM_WIDTHS)
+    tok_poly = (f"list_reduce([CAST(unicode(substr(tok, i, 1)) AS HUGEINT)"
+                f" for i in generate_series(1, length(tok))],"
+                f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    pow2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    combo_rows = []
+    for ci, (i, j, k) in enumerate(_SIM_COMBOS):
+        combo_rows.append(
+            f"({ci}, {1 << _SIM_OFFS[i]}::HUGEINT, {1 << _SIM_WIDTHS[i]},"
+            f" {1 << _SIM_OFFS[j]}::HUGEINT, {1 << _SIM_WIDTHS[j]},"
+            f" {1 << _SIM_WIDTHS[i]},"
+            f" {1 << _SIM_OFFS[k]}::HUGEINT, {1 << _SIM_WIDTHS[k]},"
+            f" {1 << (_SIM_WIDTHS[i] + _SIM_WIDTHS[j])})")
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_col}, tok FROM (
+    SELECT {id_col},
+           unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS tok
+    FROM {table}) WHERE tok <> ''
+),
+th AS (
+  SELECT {id_col}, {mix64_sql(tok_poly)} AS th FROM toks
+),
+pow2(b, pw) AS (VALUES {pow2}),
+votes AS (
+  SELECT {id_col}, b, pw,
+         SUM(CASE WHEN (th // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN pow2 GROUP BY {id_col}, b, pw
+),
+sim AS (
+  SELECT {id_col},
+         SUM(CASE WHEN v > 0 THEN pw ELSE 0 END) AS sh
+  FROM votes GROUP BY {id_col}
+),
+combos(ci, di, mi, dj, mj, fj, dk, mk, fk) AS (VALUES {", ".join(combo_rows)}),
+keys AS (
+  SELECT {id_col}, sh,
+         (sh // di) % mi + ((sh // dj) % mj) * fj
+         + ((sh // dk) % mk) * fk + ci * {1 << 36}::HUGEINT AS key
+  FROM sim CROSS JOIN combos
+)
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       bit_count(CAST(xor(a.sh, b.sh) AS UBIGINT)) AS hamming
+FROM keys a JOIN keys b ON a.key = b.key AND a.{id_col} < b.{id_col}
+WHERE bit_count(CAST(xor(a.sh, b.sh) AS UBIGINT)) <= {_SIM_HAM_MAX}"""
+
+
 def jaccard_verified_dups_oracle_sql(threshold: float = 0.5,
                                      shingle_k: int = 5,
                                      table: str = "documents",

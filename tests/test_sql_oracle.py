@@ -104,6 +104,39 @@ def test_full_cluster_oracle_matches_python_pipeline():
     assert expected.get(0) == 0 and expected.get(1) == 0
 
 
+def test_poly_hashes_matches_scalar_shingle_path():
+    """poly_hashes(whole string) must equal shingle_hashes' short-text
+    path (poly over all codepoints + mix64) — the two share constants."""
+    from medcat_ray.ops.hashing import poly_hashes
+    for s in ["a", "hi", "naïve", "tok42", "✓"]:
+        assert int(poly_hashes([s])[0]) == int(shingle_hashes(s, k=99)[0])
+    multi = poly_hashes(["alpha", "z", "beta"])
+    assert int(multi[1]) == int(poly_hashes(["z"])[0])
+
+
+def test_simhash_oracle_matches_python():
+    from medcat_ray.ops.hashing import poly_hashes, simhash64
+    from medcat_ray.ops.sql_oracle import simhash_candidates_oracle_sql
+    texts = TEXTS + ["one shared token here", "one shared token there"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    got = {(a, b): h for a, b, h in con.execute(
+        simhash_candidates_oracle_sql(table="docs")).fetchall()}
+    # brute-force expected pairs from the Python primitives
+    sims = [simhash64(poly_hashes(sorted(set(t.lower().split()))))
+            for t in texts]
+    exp = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            ham = bin(sims[i] ^ sims[j]).count("1")
+            if ham <= 3:
+                exp[(i, j)] = ham
+    assert got == exp
+    assert (0, 1) in exp and exp[(0, 1)] == 0   # exact dup pair present
+
+
 def test_jaccard_dups_oracle_runs_and_scores_dup_pair():
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
