@@ -382,6 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                ascending=[False, True]).reset_index(drop=True)
 
     def langid_docs(sf_dir):
+        """Language ID over the NATURAL corpus — oracle-checked: DuckDB
+        recomputes the CJK-ratio branch, marker word/gram scores and the
+        argmax/floor decision (ops/sql_oracle.py:langid_oracle_sql)."""
         import ray.data as rd
         from medcat_ray.ops.textstats import add_langid
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -798,6 +801,11 @@ def _simhash_oracle() -> str:
     return simhash_candidates_oracle_sql() + "\nORDER BY id_a, id_b"
 
 
+def _langid_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import langid_oracle_sql
+    return langid_oracle_sql() + "\nORDER BY doc_id"
+
+
 def oracle_sql() -> dict[str, str]:
     from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
                                               entities_oracle_sql,
@@ -1032,6 +1040,7 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "minhash_dedup_docs": _minhash_oracle(),
         "jaccard_verified_dups": _jaccard_dups_oracle(),
         "simhash_candidates_docs": _simhash_oracle(),
+        "langid_docs": _langid_oracle(),
         # planted corpus (see _plant_dedup_corpus): members of a complete
         # group {10g, 10g+1} share identical text → provably clustered.
         "minhash_dedup_planted": """

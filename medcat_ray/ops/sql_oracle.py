@@ -189,6 +189,60 @@ FROM keys a JOIN keys b ON a.key = b.key AND a.{id_col} < b.{id_col}
 WHERE bit_count(CAST(xor(a.sh, b.sh) AS UBIGINT)) <= {_SIM_HAM_MAX}"""
 
 
+def langid_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """SQL twin of ops.textstats.LangIdStage.detect over natural text:
+    CJK-codepoint-ratio branch, marker-word set intersection (×3) +
+    non-overlapping marker-gram counts (×0.1), alphabetical-first argmax,
+    'und' floor.  Marker constants are imported from the stage so the two
+    can never drift."""
+    from medcat_ray.ops.textstats import _LANG_MARKERS
+    langs = sorted(k for k in _LANG_MARKERS if k != "zh")
+
+    def score(lang: str) -> str:
+        prof = _LANG_MARKERS[lang]
+        words = ", ".join(f"'{w}'" for w in sorted(prof["words"]))
+        # str.count(g) == chars removed by replace() / len(g): both count
+        # non-overlapping left-to-right occurrences
+        grams = " + ".join(
+            f"(length(lw) - length(replace(lw, '{g}', ''))) / {len(g)}"
+            for g in sorted(prof["grams"])) or "0"
+        return (f"3 * len(list_intersect(words, [{words}]))"
+                f" + 0.1 * ({grams})")
+
+    score_cols = ",\n         ".join(f"{score(l)} AS s_{l}" for l in langs)
+    m = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    best = "CASE " + " ".join(f"WHEN s_{l} = {m} THEN '{l}'"
+                              for l in langs) + " END"
+    best_s = "CASE " + " ".join(f"WHEN s_{l} = {m} THEN s_{l}"
+                                for l in langs) + " END"
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         substr(COALESCE({text_col}, ''), 1, 500) AS t500,
+         lower(substr(COALESCE({text_col}, ''), 1, 2000)) AS lw
+  FROM {table}
+),
+feat AS (
+  SELECT {id_col}, lw,
+         length(regexp_replace(t500, '[^一-鿿]', '', 'g')) AS n_cjk,
+         GREATEST(length(t500), 1) AS cjk_den,
+         list_distinct([w for w in regexp_split_to_array(lw, '\\s+')
+                        if w <> '']) AS words
+  FROM base
+),
+scores AS (
+  SELECT {id_col}, n_cjk, cjk_den, len(words) AS total,
+         {score_cols}
+  FROM feat
+)
+SELECT {id_col},
+       CASE WHEN n_cjk * 1.0 / cjk_den > 0.2 THEN 'zh'
+            WHEN ({best_s}) / GREATEST(total, 1) > 0.0001 THEN {best}
+            ELSE 'und' END AS lang_pred
+FROM scores"""
+
+
 def jaccard_verified_dups_oracle_sql(threshold: float = 0.5,
                                      shingle_k: int = 5,
                                      table: str = "documents",

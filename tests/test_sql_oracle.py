@@ -137,6 +137,32 @@ def test_simhash_oracle_matches_python():
     assert (0, 1) in exp and exp[(0, 1)] == 0   # exact dup pair present
 
 
+def test_langid_oracle_matches_python_detect():
+    from medcat_ray.ops.sql_oracle import langid_oracle_sql
+    from medcat_ray.ops.textstats import LangIdStage
+    texts = [
+        "the cat sat on the mat and it was warm for the season",
+        "der hund ist nicht mit der katze auf den berg gegangen",
+        "le chat est dans la maison pour que les souris restent",
+        "el perro es una mascota que vive con las personas",
+        "这是一个中文文本的例子，包含很多汉字字符来触发中日韩检测",
+        "",                       # empty → und
+        "zzz qqq xxx",            # no markers → und (floor)
+        "the der le el",          # tie-ish: all langs score
+        "naïve café does the thing with the stuff and the other thing",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    got = dict(con.execute(langid_oracle_sql(table="docs")).fetchall())
+    st = LangIdStage()
+    exp = {i: st.detect(t) for i, t in enumerate(texts)}
+    assert got == exp
+    assert exp[0] == "en" and exp[1] == "de" and exp[4] == "zh"
+    assert exp[5] == "und"
+
+
 def test_jaccard_dups_oracle_runs_and_scores_dup_pair():
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
