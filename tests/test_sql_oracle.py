@@ -163,6 +163,61 @@ def test_langid_oracle_matches_python_detect():
     assert exp[5] == "und"
 
 
+def test_cluster_oracle_property_random_texts():
+    """Property: over seeded random corpora (with planted dup pairs and
+    unicode noise), the SQL cluster oracle equals the Python primitives'
+    clustering — same construction as the hand-rolled test above but over
+    many corpora."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "naïve", "über", "tok",
+             "data", "graph", "medical", "entity", "çöğüş"]
+    for trial in range(5):
+        n = 12
+        texts = []
+        for i in range(n):
+            k = rng.integers(8, 16)
+            texts.append(" ".join(rng.choice(words, size=k)))
+        # plant one exact-dup pair and one near-dup pair
+        texts[1] = texts[0]
+        texts[3] = texts[2] + " extra"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+        num_perm, bands, rows = 16, 4, 4
+        a, b = minhash_params(num_perm, seed=1)
+        sigs = np.stack([minhash_signature(shingle_hashes(t, 5), a, b)
+                         for t in texts])
+        keys = np.stack([band_keys(sigs, bd * rows, (bd + 1) * rows)
+                         for bd in range(bands)], axis=1)
+        buckets = {}
+        for i in range(n):
+            for bd in range(bands):
+                buckets.setdefault((bd, int(keys[i, bd])), []).append(i)
+        adj = {i: {i} for i in range(n)}
+        for members in buckets.values():
+            if len(members) > 1:
+                rep = min(members)
+                for m in members:
+                    adj[m].add(rep)
+                    adj[rep].add(m)
+        expected = {}
+        for i in range(n):
+            seen, stack = set(), [i]
+            while stack:
+                x = stack.pop()
+                if x not in seen:
+                    seen.add(x)
+                    stack.extend(adj[x] - seen)
+            if len(seen) > 1:
+                expected[i] = min(seen)
+        got = dict(con.execute(minhash_clusters_oracle_sql(
+            num_perm=num_perm, bands=bands, table="docs")).fetchall())
+        assert got == expected, f"trial {trial}"
+        assert expected.get(0) == 0 and expected.get(1) == 0
+
+
 def test_jaccard_dups_oracle_runs_and_scores_dup_pair():
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
