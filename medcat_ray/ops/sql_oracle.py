@@ -21,9 +21,12 @@ Arithmetic notes
   EACH fixpoint iteration; ``MATERIALIZED`` on the edge table is what
   keeps the oracle O(pipeline + closure) instead of O(pipeline × rounds).
 
-Assumption: every text has at least ``shingle_k`` characters (the Python
-short-text path hashes the whole text instead; the driver's test tables
-satisfy this — shortest sf0.01 text is 44 chars).
+The minhash oracle covers all three text-length regimes of
+``hashing.shingle_hashes``: k-shingles (len >= k), whole-text polynomial
+(0 < len < k) and the empty/NULL constant all-MAX signature (a
+precomputed band-key literal).  The simhash oracle still assumes >= 1
+token per doc (tokenless docs get simhash 0 in Python and would need a
+COALESCE branch).
 """
 
 from __future__ import annotations
@@ -58,21 +61,34 @@ def mix64_sql(expr: str) -> str:
 def shingle_cte_sql(table: str, id_col: str, text_col: str,
                     shingle_k: int) -> str:
     """CTEs ``pos`` / ``sh``: distinct k-char-shingle hashes per doc —
-    SQL twin of hashing.shingle_hashes (texts >= k chars)."""
+    SQL twin of hashing.shingle_hashes, including the short-text path
+    (0 < len < k hashes ALL codepoints in one polynomial).  Empty/NULL
+    texts produce no ``sh`` rows — the caller handles their constant
+    all-MAX signature separately."""
     def cp(j: int) -> str:
         return f"CAST(unicode(substr({text_col}, x+{j}, 1)) AS HUGEINT)"
 
     poly = cp(0)
     for j in range(1, shingle_k):
         poly = f"(({poly}) * {_P} + {cp(j)}) % {_M64}"
+    whole = (f"list_reduce([CAST(unicode(substr({text_col}, i, 1))"
+             f" AS HUGEINT) for i in generate_series(1,"
+             f" length({text_col}))], (acc, x) -> (acc * {_P} + x)"
+             f" % {_M64})")
     return f"""
 pos AS (
   SELECT {id_col}, {text_col},
-         unnest(generate_series(1, greatest(length({text_col})
-                                            - {shingle_k - 1}, 1))) AS x
-  FROM {table}
+         unnest(generate_series(1, length({text_col})
+                                   - {shingle_k - 1})) AS x
+  FROM {table} WHERE length({text_col}) >= {shingle_k}
 ),
-sh AS (SELECT DISTINCT {id_col}, {mix64_sql(poly)} AS sh FROM pos)"""
+sh AS (
+  SELECT DISTINCT {id_col}, {mix64_sql(poly)} AS sh FROM pos
+  UNION ALL
+  SELECT {id_col}, {mix64_sql(whole)} AS sh
+  FROM {table}
+  WHERE length({text_col}) BETWEEN 1 AND {shingle_k - 1}
+)"""
 
 
 def minhash_clusters_oracle_sql(num_perm: int = 64, bands: int = 16,
@@ -84,10 +100,18 @@ def minhash_clusters_oracle_sql(num_perm: int = 64, bands: int = 16,
     shingles → 32-bit minhash signature → per-band polynomial keys →
     bucket star edges (min-id rep, non-singleton buckets) → transitive
     closure → (doc_id, rep = component min id) for clustered docs."""
+    import numpy as np
+
+    from medcat_ray.ops.hashing import band_keys
+
     rows = num_perm // bands
     a, b = minhash_params(num_perm, seed=seed)
     perm_vals = ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
                           for i in range(num_perm))
+    # empty/NULL text → all-MAX_HASH signature (hashing.minhash_signature)
+    # → every band folds the same constant key; precompute it here
+    empty_sig = np.full((1, num_perm), (1 << 32) - 1, dtype=np.uint64)
+    empty_key = int(band_keys(empty_sig, 0, rows)[0])
     # pivot each band's `rows` signature slots into columns, then fold the
     # polynomial band key over them (hashing.band_keys)
     slot = lambda j: f"MAX(CASE WHEN i % {rows} = {j} THEN m END)"
@@ -106,6 +130,10 @@ sig AS (
 bkey AS (
   SELECT {id_col}, i // {rows} AS band, {mix64_sql(poly)} AS key
   FROM sig GROUP BY {id_col}, i // {rows}
+  UNION ALL
+  SELECT {id_col}, CAST(b AS BIGINT) AS band, {empty_key}::HUGEINT AS key
+  FROM {table} CROSS JOIN generate_series(0, {bands - 1}) AS gs(b)
+  WHERE {text_col} IS NULL OR length({text_col}) = 0
 ),
 bucket_rep AS (
   SELECT band, key, MIN({id_col}) AS rep, COUNT(*) AS n

@@ -163,6 +163,57 @@ def test_langid_oracle_matches_python_detect():
     assert exp[5] == "und"
 
 
+def test_cluster_oracle_short_and_empty_texts():
+    """The SQL oracle must reproduce Python's short-text (<k chars) and
+    empty-text (all-MAX signature) paths: two empty docs always cluster,
+    identical 2-char docs always cluster."""
+    import numpy as np
+    from medcat_ray.ops.sql_oracle import minhash_clusters_oracle_sql
+    texts = ["", "", "hi", "hi", "abc", "a completely normal sentence with "
+             "plenty of shingles inside it", ""]
+    num_perm, bands, rows = 16, 4, 4
+    a, b = minhash_params(num_perm, seed=1)
+    sigs = np.stack([minhash_signature(shingle_hashes(t, 5), a, b)
+                     for t in texts])
+    keys = np.stack([band_keys(sigs, bd * rows, (bd + 1) * rows)
+                     for bd in range(bands)], axis=1)
+    buckets = {}
+    for i in range(len(texts)):
+        for bd in range(bands):
+            buckets.setdefault((bd, int(keys[i, bd])), []).append(i)
+    adj = {i: {i} for i in range(len(texts))}
+    for members in buckets.values():
+        if len(members) > 1:
+            rep = min(members)
+            for m in members:
+                adj[m].add(rep)
+                adj[rep].add(m)
+    expected = {}
+    for i in range(len(texts)):
+        seen, stack = set(), [i]
+        while stack:
+            x = stack.pop()
+            if x not in seen:
+                seen.add(x)
+                stack.extend(adj[x] - seen)
+        if len(seen) > 1:
+            expected[i] = min(seen)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    con.execute("INSERT INTO docs VALUES (99, NULL)")   # NULL ≡ empty
+    got = dict(con.execute(minhash_clusters_oracle_sql(
+        num_perm=num_perm, bands=bands, table="docs")).fetchall())
+    # NULL-text doc 99 joins the empty cluster {0, 1, 6}
+    expected_with_null = dict(expected)
+    expected_with_null[99] = expected.get(0, 0)
+    assert got == expected_with_null
+    assert expected.get(0) == 0 and expected.get(1) == 0  # empties cluster
+    assert expected.get(2) == 2 and expected.get(3) == 2  # short dups too
+
+
 def test_cluster_oracle_property_random_texts():
     """Property: over seeded random corpora (with planted dup pairs and
     unicode noise), the SQL cluster oracle equals the Python primitives'
