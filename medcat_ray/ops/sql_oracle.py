@@ -21,12 +21,10 @@ Arithmetic notes
   EACH fixpoint iteration; ``MATERIALIZED`` on the edge table is what
   keeps the oracle O(pipeline + closure) instead of O(pipeline × rounds).
 
-The minhash oracle covers all three text-length regimes of
-``hashing.shingle_hashes``: k-shingles (len >= k), whole-text polynomial
-(0 < len < k) and the empty/NULL constant all-MAX signature (a
-precomputed band-key literal).  The simhash oracle still assumes >= 1
-token per doc (tokenless docs get simhash 0 in Python and would need a
-COALESCE branch).
+Both the minhash and simhash oracles cover every input regime of their
+Python twins: k-shingles / whole-text polynomial (0 < len < k) / the
+empty-NULL constant all-MAX signature for minhash, and the tokenless
+``simhash64([]) == 0`` branch for simhash.
 """
 
 from __future__ import annotations
@@ -167,8 +165,8 @@ def simhash_candidates_oracle_sql(table: str = "documents",
     bucketed pair check, exact Hamming ≤ 3 via xor+bit_count.
 
     Emits (id_a, id_b, hamming) with id_a < id_b, deduplicated across the
-    20 bucket tables.  Assumes every doc has ≥1 token (docs with none get
-    simhash 0 in Python; such rows would need a COALESCE branch here)."""
+    20 bucket tables.  Tokenless docs (empty/NULL/whitespace-only text)
+    carry Python's ``simhash64([]) == 0`` via an explicit branch."""
     from medcat_ray.ops.dedup import (_SIM_COMBOS, _SIM_HAM_MAX, _SIM_OFFS,
                                       _SIM_WIDTHS)
     tok_poly = (f"list_reduce([CAST(unicode(substr(tok, i, 1)) AS HUGEINT)"
@@ -203,6 +201,10 @@ sim AS (
   SELECT {id_col},
          SUM(CASE WHEN v > 0 THEN pw ELSE 0 END) AS sh
   FROM votes GROUP BY {id_col}
+  UNION ALL
+  -- tokenless docs: hashing.simhash64([]) == 0
+  SELECT {id_col}, 0::HUGEINT AS sh FROM {table}
+  WHERE length(regexp_replace(COALESCE({text_col}, ''), '\\s', '', 'g')) = 0
 ),
 combos(ci, di, mi, dj, mj, fj, dk, mk, fk) AS (VALUES {", ".join(combo_rows)}),
 keys AS (

@@ -117,7 +117,9 @@ def test_poly_hashes_matches_scalar_shingle_path():
 def test_simhash_oracle_matches_python():
     from medcat_ray.ops.hashing import poly_hashes, simhash64
     from medcat_ray.ops.sql_oracle import simhash_candidates_oracle_sql
-    texts = TEXTS + ["one shared token here", "one shared token there"]
+    # the two empty/whitespace docs must pair at hamming 0 (simhash 0)
+    texts = TEXTS + ["one shared token here", "one shared token there",
+                     "", "   \t "]
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
     for i, t in enumerate(texts):
