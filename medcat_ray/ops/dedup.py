@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from medcat_ray.ops.hashing import (band_key, band_keys, minhash_params,
+from medcat_ray.ops.hashing import (band_keys, minhash_params,
                                     minhash_signature, poly_hashes,
                                     shingle_hashes, simhash64, stable_u64,
                                     text_hashes)

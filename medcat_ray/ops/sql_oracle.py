@@ -35,6 +35,12 @@ from medcat_ray.ops.hashing import (MERSENNE_PRIME, _POLY_BASE, _POLY_MIX,
 _M64 = str(1 << 64)
 _P = int(_POLY_BASE)
 
+# Python str.split() splits on the Unicode isspace() set; RE2's '\s' is
+# ASCII-only, so the oracles must spell the set out (derived, not
+# hand-listed, so a Python upgrade that widens isspace() shows up here).
+_WS_CLASS = "[" + "".join(f"\\x{{{c:X}}}" for c in range(0x11000)
+                          if chr(c).isspace()) + "]"
+
 
 def _mulmod64(expr: str, const: int) -> str:
     """SQL for ``(expr * const) % 2**64`` safe against int128 overflow:
@@ -47,13 +53,36 @@ def _mulmod64(expr: str, const: int) -> str:
 
 
 def mix64_sql(expr: str) -> str:
-    """SQL equivalent of hashing._mix64 (splitmix64 finalizer)."""
+    """SQL equivalent of hashing._mix64 (splitmix64 finalizer), fully
+    inlined.  Every xor doubles and every mulmod quadruples the input
+    text, so ``expr`` ends up duplicated ~72×; fine for scalar/test use —
+    per-row pipelines should use :func:`mix64_staged` instead."""
     h = f"(({expr}) + {int(_POLY_MIX)}) % {_M64}"
     h = f"xor({h}, ({h}) // {1 << 30})"
     h = _mulmod64(h, 0xBF58476D1CE4E5B9)
     h = f"xor({h}, ({h}) // {1 << 27})"
     h = _mulmod64(h, 0x94D049BB133111EB)
     return f"xor({h}, ({h}) // {1 << 31})"
+
+
+def mix64_staged(src: str, carry: str, expr: str, out: str) -> str:
+    """splitmix64 finalizer as six nested SELECTs over subquery ``src``
+    (a FROM-able fragment, e.g. ``pos`` or ``(SELECT ...)``): each step
+    references its input COLUMN exactly once, so the emitted SQL stays
+    linear in the number of steps instead of exponential (and DuckDB
+    never re-evaluates a step, CSE or not).  ``carry`` = columns to pass
+    through; ``expr`` = the HUGEINT input expression; ``out`` = the
+    finalized column name."""
+    q = f"SELECT {carry}, ({expr} + {int(_POLY_MIX)}) % {_M64} AS h FROM {src}"
+    steps = [
+        f"xor(h, h // {1 << 30})",
+        _mulmod64("h", 0xBF58476D1CE4E5B9),
+        f"xor(h, h // {1 << 27})",
+        _mulmod64("h", 0x94D049BB133111EB),
+    ]
+    for s in steps:
+        q = f"SELECT {carry}, {s} AS h FROM ({q})"
+    return f"SELECT {carry}, xor(h, h // {1 << 31}) AS {out} FROM ({q})"
 
 
 def shingle_cte_sql(table: str, id_col: str, text_col: str,
@@ -73,6 +102,11 @@ def shingle_cte_sql(table: str, id_col: str, text_col: str,
              f" AS HUGEINT) for i in generate_series(1,"
              f" length({text_col}))], (acc, x) -> (acc * {_P} + x)"
              f" % {_M64})")
+    shingled = mix64_staged("pos", id_col, poly, "sh")
+    short = mix64_staged(
+        f"(SELECT {id_col}, {text_col} FROM {table}"
+        f" WHERE length({text_col}) BETWEEN 1 AND {shingle_k - 1})",
+        id_col, whole, "sh")
     return f"""
 pos AS (
   SELECT {id_col}, {text_col},
@@ -81,11 +115,9 @@ pos AS (
   FROM {table} WHERE length({text_col}) >= {shingle_k}
 ),
 sh AS (
-  SELECT DISTINCT {id_col}, {mix64_sql(poly)} AS sh FROM pos
+  SELECT DISTINCT {id_col}, sh FROM ({shingled})
   UNION ALL
-  SELECT {id_col}, {mix64_sql(whole)} AS sh
-  FROM {table}
-  WHERE length({text_col}) BETWEEN 1 AND {shingle_k - 1}
+  {short}
 )"""
 
 
@@ -125,9 +157,12 @@ sig AS (
              % {int(MERSENNE_PRIME)} % 4294967296) AS m
   FROM sh CROSS JOIN perms GROUP BY sh.{id_col}, perms.i
 ),
-bkey AS (
-  SELECT {id_col}, i // {rows} AS band, {mix64_sql(poly)} AS key
+bandv AS (
+  SELECT {id_col}, i // {rows} AS band, {poly} AS p
   FROM sig GROUP BY {id_col}, i // {rows}
+),
+bkey AS (
+  {mix64_staged("bandv", f"{id_col}, band", "p", "key")}
   UNION ALL
   SELECT {id_col}, CAST(b AS BIGINT) AS band, {empty_key}::HUGEINT AS key
   FROM {table} CROSS JOIN generate_series(0, {bands - 1}) AS gs(b)
@@ -185,11 +220,12 @@ def simhash_candidates_oracle_sql(table: str = "documents",
 WITH toks AS (
   SELECT DISTINCT {id_col}, tok FROM (
     SELECT {id_col},
-           unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS tok
+           unnest(regexp_split_to_array(lower({text_col}),
+                                        '{_WS_CLASS}+')) AS tok
     FROM {table}) WHERE tok <> ''
 ),
 th AS (
-  SELECT {id_col}, {mix64_sql(tok_poly)} AS th FROM toks
+  {mix64_staged("toks", id_col, tok_poly, "th")}
 ),
 pow2(b, pw) AS (VALUES {pow2}),
 votes AS (
@@ -204,7 +240,8 @@ sim AS (
   UNION ALL
   -- tokenless docs: hashing.simhash64([]) == 0
   SELECT {id_col}, 0::HUGEINT AS sh FROM {table}
-  WHERE length(regexp_replace(COALESCE({text_col}, ''), '\\s', '', 'g')) = 0
+  WHERE length(regexp_replace(COALESCE({text_col}, ''),
+                              '{_WS_CLASS}', '', 'g')) = 0
 ),
 combos(ci, di, mi, dj, mj, fj, dk, mk, fk) AS (VALUES {", ".join(combo_rows)}),
 keys AS (
@@ -257,7 +294,7 @@ feat AS (
   SELECT {id_col}, lw,
          length(regexp_replace(t500, '[^一-鿿]', '', 'g')) AS n_cjk,
          GREATEST(length(t500), 1) AS cjk_den,
-         list_distinct([w for w in regexp_split_to_array(lw, '\\s+')
+         list_distinct([w for w in regexp_split_to_array(lw, '{_WS_CLASS}+')
                         if w <> '']) AS words
   FROM base
 ),
@@ -289,11 +326,18 @@ def jaccard_verified_dups_oracle_sql(threshold: float = 0.5,
     return f"""
 WITH clusters AS MATERIALIZED ({clusters}),
 shset AS (
+  -- Python shingle_hashes: len >= k → k-shingles; 0 < len < k → ONE
+  -- whole-text element (shorter than k, so it can never equal a real
+  -- k-shingle); len 0 → empty set
   SELECT {id_col},
-         list_distinct([substr({text_col}, x, {shingle_k})
-                        for x in generate_series(
-                            1, greatest(length({text_col})
-                                        - {shingle_k - 1}, 0))]) AS s
+         CASE WHEN length(COALESCE({text_col}, '')) >= {shingle_k}
+              THEN list_distinct([substr({text_col}, x, {shingle_k})
+                                  for x in generate_series(
+                                      1, length({text_col})
+                                         - {shingle_k - 1})])
+              WHEN length(COALESCE({text_col}, '')) >= 1
+              THEN [{text_col}]
+              ELSE [] END AS s
   FROM {table}
 ),
 pairs AS (

@@ -28,6 +28,50 @@ TEXTS = [
 ]
 
 
+def expected_clusters(texts, num_perm=16, bands=4, shingle_k=5):
+    """Reference clustering from the Python primitives: signatures →
+    band keys → bucket star edges (min-id rep) → component closure →
+    {doc_id: component min id} for docs in non-singleton components.
+    The single source of truth the SQL oracle tests compare against."""
+    rows = num_perm // bands
+    a, b = minhash_params(num_perm, seed=1)
+    sigs = np.stack([minhash_signature(shingle_hashes(t, shingle_k), a, b)
+                     for t in texts])
+    keys = np.stack([band_keys(sigs, bd * rows, (bd + 1) * rows)
+                     for bd in range(bands)], axis=1)  # (n_docs, bands)
+    buckets = {}
+    for i in range(len(texts)):
+        for bd in range(bands):
+            buckets.setdefault((bd, int(keys[i, bd])), []).append(i)
+    adj = {i: {i} for i in range(len(texts))}
+    for members in buckets.values():
+        if len(members) > 1:
+            rep = min(members)
+            for m in members:
+                adj[m].add(rep)
+                adj[rep].add(m)
+    expected = {}
+    for i in range(len(texts)):
+        seen, stack = set(), [i]
+        while stack:
+            x = stack.pop()
+            if x not in seen:
+                seen.add(x)
+                stack.extend(adj[x] - seen)
+        if len(seen) > 1:
+            expected[i] = min(seen)
+    return expected
+
+
+def docs_table(texts):
+    """Fresh DuckDB connection with a ``docs(doc_id, text)`` table."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    return con
+
+
 def test_mix64_sql_matches_python():
     vals = np.array([0, 1, 2**63, 2**64 - 1, 123456789, 2**61 - 1],
                     dtype=np.uint64)
@@ -58,46 +102,9 @@ def test_full_cluster_oracle_matches_python_pipeline():
     """End-to-end: the SQL cluster oracle equals a hand-rolled Python
     LSH clustering (signature → band keys → bucket star edges →
     union-find) over the same texts."""
-    num_perm, bands, rows = 16, 4, 4
-    a, b = minhash_params(num_perm, seed=1)
-    sigs = np.stack([minhash_signature(shingle_hashes(t, 5), a, b)
-                     for t in TEXTS])
-    keys = np.stack([band_keys(sigs, bd * rows, (bd + 1) * rows)
-                     for bd in range(bands)], axis=1)  # (n_docs, bands)
-    buckets = {}
-    for i in range(len(TEXTS)):
-        for bd in range(bands):
-            buckets.setdefault((bd, int(keys[i, bd])), []).append(i)
-    # star edges → labels (tiny corpus: direct closure)
-    import itertools
-    adj = {i: {i} for i in range(len(TEXTS))}
-    for members in buckets.values():
-        if len(members) > 1:
-            rep = min(members)
-            for m in members:
-                adj[m].add(rep)
-                adj[rep].add(m)
-    def comp(i, seen=None):
-        seen = seen or set()
-        stack = [i]
-        while stack:
-            x = stack.pop()
-            if x not in seen:
-                seen.add(x)
-                stack.extend(adj[x] - seen)
-        return seen
-    expected = {}
-    for i in range(len(TEXTS)):
-        c = comp(i)
-        if len(c) > 1:
-            expected[i] = min(c)
-
-    con = duckdb.connect()
-    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
-    for i, t in enumerate(TEXTS):
-        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
-    sql = minhash_clusters_oracle_sql(num_perm=num_perm, bands=bands,
-                                      table="docs")
+    expected = expected_clusters(TEXTS)
+    con = docs_table(TEXTS)
+    sql = minhash_clusters_oracle_sql(num_perm=16, bands=4, table="docs")
     got = dict(con.execute(sql).fetchall())
     assert got == expected
     # sanity: the dup/near-dup trio must actually cluster
@@ -117,13 +124,15 @@ def test_poly_hashes_matches_scalar_shingle_path():
 def test_simhash_oracle_matches_python():
     from medcat_ray.ops.hashing import poly_hashes, simhash64
     from medcat_ray.ops.sql_oracle import simhash_candidates_oracle_sql
-    # the two empty/whitespace docs must pair at hamming 0 (simhash 0)
+    # the empty/whitespace docs must pair at hamming 0 (simhash 0), and
+    # Unicode whitespace (NBSP, ideographic space) must tokenize like
+    # Python str.split() — the same token set via NBSP vs ASCII space
+    # must land on identical simhashes
     texts = TEXTS + ["one shared token here", "one shared token there",
-                     "", "   \t "]
-    con = duckdb.connect()
-    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
-    for i, t in enumerate(texts):
-        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+                     "", "   \t ", " 　",
+                     "nbsp separated tokens here",
+                     "nbsp separated tokens　here"]
+    con = docs_table(texts)
     got = {(a, b): h for a, b, h in con.execute(
         simhash_candidates_oracle_sql(table="docs")).fetchall()}
     # brute-force expected pairs from the Python primitives
@@ -152,6 +161,7 @@ def test_langid_oracle_matches_python_detect():
         "zzz qqq xxx",            # no markers → und (floor)
         "the der le el",          # tie-ish: all langs score
         "naïve café does the thing with the stuff and the other thing",
+        "the\xa0cat\xa0sat on the　mat and it was warm",  # unicode WS
     ]
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
@@ -169,45 +179,13 @@ def test_cluster_oracle_short_and_empty_texts():
     """The SQL oracle must reproduce Python's short-text (<k chars) and
     empty-text (all-MAX signature) paths: two empty docs always cluster,
     identical 2-char docs always cluster."""
-    import numpy as np
-    from medcat_ray.ops.sql_oracle import minhash_clusters_oracle_sql
     texts = ["", "", "hi", "hi", "abc", "a completely normal sentence with "
              "plenty of shingles inside it", ""]
-    num_perm, bands, rows = 16, 4, 4
-    a, b = minhash_params(num_perm, seed=1)
-    sigs = np.stack([minhash_signature(shingle_hashes(t, 5), a, b)
-                     for t in texts])
-    keys = np.stack([band_keys(sigs, bd * rows, (bd + 1) * rows)
-                     for bd in range(bands)], axis=1)
-    buckets = {}
-    for i in range(len(texts)):
-        for bd in range(bands):
-            buckets.setdefault((bd, int(keys[i, bd])), []).append(i)
-    adj = {i: {i} for i in range(len(texts))}
-    for members in buckets.values():
-        if len(members) > 1:
-            rep = min(members)
-            for m in members:
-                adj[m].add(rep)
-                adj[rep].add(m)
-    expected = {}
-    for i in range(len(texts)):
-        seen, stack = set(), [i]
-        while stack:
-            x = stack.pop()
-            if x not in seen:
-                seen.add(x)
-                stack.extend(adj[x] - seen)
-        if len(seen) > 1:
-            expected[i] = min(seen)
-
-    con = duckdb.connect()
-    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
-    for i, t in enumerate(texts):
-        con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
+    expected = expected_clusters(texts)
+    con = docs_table(texts)
     con.execute("INSERT INTO docs VALUES (99, NULL)")   # NULL ≡ empty
     got = dict(con.execute(minhash_clusters_oracle_sql(
-        num_perm=num_perm, bands=bands, table="docs")).fetchall())
+        num_perm=16, bands=4, table="docs")).fetchall())
     # NULL-text doc 99 joins the empty cluster {0, 1, 6}
     expected_with_null = dict(expected)
     expected_with_null[99] = expected.get(0, 0)
@@ -234,39 +212,10 @@ def test_cluster_oracle_property_random_texts():
         # plant one exact-dup pair and one near-dup pair
         texts[1] = texts[0]
         texts[3] = texts[2] + " extra"
-        con = duckdb.connect()
-        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
-        for i, t in enumerate(texts):
-            con.execute("INSERT INTO docs VALUES (?, ?)", [i, t])
-        num_perm, bands, rows = 16, 4, 4
-        a, b = minhash_params(num_perm, seed=1)
-        sigs = np.stack([minhash_signature(shingle_hashes(t, 5), a, b)
-                         for t in texts])
-        keys = np.stack([band_keys(sigs, bd * rows, (bd + 1) * rows)
-                         for bd in range(bands)], axis=1)
-        buckets = {}
-        for i in range(n):
-            for bd in range(bands):
-                buckets.setdefault((bd, int(keys[i, bd])), []).append(i)
-        adj = {i: {i} for i in range(n)}
-        for members in buckets.values():
-            if len(members) > 1:
-                rep = min(members)
-                for m in members:
-                    adj[m].add(rep)
-                    adj[rep].add(m)
-        expected = {}
-        for i in range(n):
-            seen, stack = set(), [i]
-            while stack:
-                x = stack.pop()
-                if x not in seen:
-                    seen.add(x)
-                    stack.extend(adj[x] - seen)
-            if len(seen) > 1:
-                expected[i] = min(seen)
+        expected = expected_clusters(texts)
+        con = docs_table(texts)
         got = dict(con.execute(minhash_clusters_oracle_sql(
-            num_perm=num_perm, bands=bands, table="docs")).fetchall())
+            num_perm=16, bands=4, table="docs")).fetchall())
         assert got == expected, f"trial {trial}"
         assert expected.get(0) == 0 and expected.get(1) == 0
 
