@@ -684,16 +684,22 @@ def verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     larger candidate volumes this becomes a bucket-join on id — noted in
     the module docstring."""
     import ray
-    need = set()
     pair_rows = pairs.to_pandas()
-    need.update(pair_rows["id_a"])
-    need.update(pair_rows["id_b"])
+    need = np.unique(np.concatenate([pair_rows["id_a"].to_numpy(),
+                                     pair_rows["id_b"].to_numpy()])) \
+        if len(pair_rows) else np.array([], dtype=np.int64)
     need_ref = ray.put(need)
 
     def grab(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        mask = pa.array([i in ray.get(need_ref) for i in ids])
-        return batch.select([id_col, text_col]).filter(mask)
+        need_sorted = ray.get(need_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(need_sorted) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(need_sorted, ids),
+                             len(need_sorted) - 1)
+            mask = need_sorted[pos] == ids
+        return batch.select([id_col, text_col]).filter(pa.array(mask))
     texts = {r[id_col]: r[text_col]
              for r in docs.map_batches(grab, batch_format="pyarrow")
              .to_pandas().to_dict("records")}
