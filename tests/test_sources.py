@@ -301,3 +301,92 @@ def test_pubtator_medmentions_conversions(ray_session, tmp_path):
     assert (ann["start"], ann["end"], ann["cui"]) == (0, 6, "C0017638")
     # offsets index into the concatenated text exactly
     assert docs_mct[0]["text"][ann["start"]:ann["end"]] == "Glioma"
+
+
+# ---------------------------------------------------------------------------
+# S9 — HF dataset builders re-expressed as Ray sources (hf_datasets.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mct_status_file(tmp_path_factory):
+    """MCT export exercising every branch of the reference's
+    annotation-status filter (transformers_ner.py:100-106)."""
+    d = tmp_path_factory.mktemp("hf_ner")
+    ann = lambda start, end, cui, **kw: {
+        "start": start, "end": end, "cui": cui, "value": "x",
+        "correct": kw.pop("correct", False), **kw}
+    export = {"projects": [{"name": "p", "id": 1, "documents": [
+        {"id": 10, "name": "doc10", "text": "kidney failure and flu seen",
+         "annotations": [
+             ann(0, 14, "C01", correct=True),                 # kept
+             ann(19, 22, "C02", manually_created=True),       # kept
+             ann(23, 27, "C03", alternative=True),            # kept
+             ann(0, 6, "C04", correct=True, deleted=True),    # dropped
+             ann(0, 6, "C05", correct=True, irrelevant=True), # dropped
+             ann(0, 6, "C06", correct=True, killed=True),     # dropped
+             ann(0, 6, "C07"),                                # dropped (all False)
+         ]},
+        {"text": "no annotations here", "annotations": []},   # id falls back to cnt
+    ]}]}
+    p = d / "export.json"
+    p.write_text(json.dumps(export))
+    return str(p)
+
+
+def test_read_transformers_ner(ray_session, mct_status_file):
+    from medcat_ray.sources.hf_datasets import read_transformers_ner
+    df = read_transformers_ner(mct_status_file).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "text", "name", "ent_starts",
+                                "ent_ends", "ent_cuis"]
+    assert len(df) == 2
+    d10 = df[df["id"] == 10].iloc[0]
+    assert list(d10["ent_cuis"]) == ["C01", "C02", "C03"]
+    assert list(d10["ent_starts"]) == [0, 19, 23]
+    assert list(d10["ent_ends"]) == [14, 22, 27]
+    # second doc: no "id" key → falls back to the running counter (1),
+    # no "name" → "unknown", empty annotation lists survive typed.
+    d1 = df[df["id"] == 1].iloc[0]
+    assert d1["name"] == "unknown" and len(d1["ent_cuis"]) == 0
+
+
+def test_read_medcat_annotations(ray_session, tmp_path):
+    import pickle
+    from medcat_ray.sources.hf_datasets import read_medcat_annotations
+    docs = {"docA": {"entities": {
+        7: {"id": 7, "context_left": ["seen ", "in "],
+            "context_right": [" of", " note"],
+            "context_center": ["kidney failure"]},
+        9: {"id": 9, "context_left": [], "context_right": ["!"],
+            "context_center": ["flu"]},
+    }}}
+    p = tmp_path / "anns.pickle"
+    p.write_bytes(pickle.dumps(docs))
+    df = read_medcat_annotations(str(p)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "document_id", "context_left",
+                                "context_right", "context_center"]
+    assert len(df) == 2
+    assert df.iloc[0]["context_left"] == "seen in "    # "".join semantics
+    assert df.iloc[0]["context_center"] == "kidney failure"
+    assert df.iloc[1]["context_left"] == ""
+    assert set(df["document_id"]) == {"docA"}
+
+
+def test_read_patient_concept_stream(ray_session, tmp_path):
+    import pickle
+    from medcat_ray.sources.hf_datasets import read_patient_concept_stream
+    # (CUI, CNT, TIME, age_years): age markers spliced in when age advances
+    pt2stream = {
+        "pt1": [("C01", 1, 100, 40), ("C02", 1, 101, 40),
+                ("C03", 1, 200, 41), ("C01", 1, 201, 41)],
+        "pt2": [("C09", 1, 50, 12)],
+    }
+    p = tmp_path / "stream.pickle"
+    p.write_bytes(pickle.dumps(pt2stream))
+    df = read_patient_concept_stream(str(p)).to_pandas() \
+        .sort_values("patient_id").reset_index(drop=True)
+    assert len(df) == 2
+    assert list(df.iloc[0]["stream"]) == \
+        ["40", "C01", "C02", "41", "C03", "C01"]
+    assert list(df.iloc[1]["stream"]) == ["12", "C09"]
