@@ -145,6 +145,33 @@ class LearnedNERModel:
         """The injectable ``scorer`` for TransformersNERStage."""
         return lambda texts: [self.tag_text(t or "") for t in texts]
 
+    @classmethod
+    def fit_from_mct_export(cls, paths, hash_bits: int = 15,
+                            **fit_kw) -> Tuple["LearnedNERModel", float]:
+        """The reference's end-to-end train path — TransformersNER.train
+        (medcat/ner/transformers_ner.py:183-236) builds its HF dataset
+        from an MCT export JSON, then fine-tunes — re-expressed over the
+        Ray source: :func:`read_transformers_ner` parses the export files
+        in tasks (one per file), examples stream to the trainer via
+        ``iter_batches``, CUI label space is discovered from the data.
+        Labeled exports are ≪ corpus-sized, so the fit itself is a single
+        driver-side stage (the reference's trainer is likewise one
+        process/GPU).  Returns (model, train accuracy)."""
+        from medcat_ray.sources.hf_datasets import read_transformers_ner
+        samples: List[Tuple[str, List[Tuple[int, int, str]]]] = []
+        cuis: set = set()
+        for batch in read_transformers_ner(paths).iter_batches(
+                batch_format="pyarrow"):
+            for text, s, e, c in zip(batch["text"].to_pylist(),
+                                     batch["ent_starts"].to_pylist(),
+                                     batch["ent_ends"].to_pylist(),
+                                     batch["ent_cuis"].to_pylist()):
+                samples.append((text, list(zip(s, e, c))))
+                cuis.update(c)
+        model = cls(sorted(cuis), hash_bits=hash_bits)
+        acc = model.fit(samples, **fit_kw)
+        return model, acc
+
     # -- serialization ----------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -81,3 +81,36 @@ def test_plugs_into_transformers_ner_stage(ner, ray_session):
     ent = out.loc[1, "ents"][0]
     assert ent["cui"] == "C_DIS" and ent["source_value"] == "glioma"
     assert out.loc[2, "n_ents"] == 0
+
+
+def test_fit_from_mct_export_end_to_end(ray_session, tmp_path):
+    """The reference's TransformersNER.train(json) path on Ray: MCT export
+    file(s) → read_transformers_ner source → trained model → injected
+    back into the NER stage; suffix generalization survives the trip."""
+    import json
+    from medcat_ray.stages.ner_model import LearnedNERModel
+
+    def to_doc(i, text, spans):
+        return {"id": i, "name": f"d{i}", "text": text, "annotations": [
+            {"start": s, "end": e, "cui": c, "value": text[s:e],
+             "correct": True} for s, e, c in spans]}
+
+    samples = _ner_samples()
+    paths = []
+    for fi in range(2):  # two export files → two parse tasks
+        docs = [to_doc(i, t, sp) for i, (t, sp)
+                in enumerate(samples[fi::2])]
+        export = {"projects": [{"name": "p", "documents": docs}]}
+        p = tmp_path / f"export{fi}.json"
+        p.write_text(json.dumps(export))
+        paths.append(str(p))
+
+    model, acc = LearnedNERModel.fit_from_mct_export(paths, hash_bits=12)
+    assert acc >= 0.97
+    assert sorted({l[2:] for l in model.labels if l != "O"}) == \
+        ["C_DIS", "C_DRG"]
+    # identical data through files vs in-memory fit → identical weights
+    direct = LearnedNERModel(["C_DIS", "C_DRG"], hash_bits=12)
+    direct.fit(samples)
+    ents = model.tag_text("the patient has blastoma since may")
+    assert len(ents) == 1 and ents[0]["cui"] == "C_DIS"
