@@ -550,6 +550,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return aud.map_batches(project, batch_format="pyarrow")
 
+    def multimodal_video_sample(sf_dir):
+        """REAL AVI decode + frame sampling, oracle-checked: uncompressed
+        RIFF/AVI videos of solid-color frames are planted from doc_id
+        (frame count, dims, fps and per-frame colors are doc_id
+        arithmetic), decoded by the builtin DIB parser on the actor pool,
+        sampled at the integer-midpoint indices — everything SQL predicts
+        from doc_id alone.  One output row per (doc, sampled frame)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.multimodal import encode_avi, sample_video_frames
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            data = []
+            for i in ids:
+                total, w, h = 2 + i % 5, 4 + i % 6, 3 + i % 4
+                frames = np.stack([np.full(
+                    (h, w, 3),
+                    ((i + 11 * f) % 256, (i * 3 + 17 * f) % 256,
+                     (i * 5 + 23 * f) % 256), dtype=np.uint8)
+                    for f in range(total)])
+                data.append(encode_avi(frames, fps=5 + i % 10))
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "data": pa.array(data, type=pa.binary())})
+
+        vids = sample_video_frames(docs.map_batches(plant,
+                                                    batch_format="pyarrow"),
+                                   n_frames=2, concurrency=2)
+
+        def project(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            idxs = batch["frame_indices"].to_pylist()
+            means = batch["frame_means"].to_pylist()
+            cols = {"doc_id": [], "frame_pos": [], "frame_index": [],
+                    "width": [], "height": [], "n_frames_total": [],
+                    "fps": [], "decoder": [],
+                    "mean_r": [], "mean_g": [], "mean_b": []}
+            ws = batch["width"].to_pylist()
+            hs = batch["height"].to_pylist()
+            ts = batch["n_frames_total"].to_pylist()
+            fp = batch["fps"].to_pylist()
+            dec = batch["decoder"].to_pylist()
+            for r, i in enumerate(ids):
+                for pos, (fi, m) in enumerate(zip(idxs[r], means[r])):
+                    cols["doc_id"].append(i)
+                    cols["frame_pos"].append(pos)
+                    cols["frame_index"].append(fi)
+                    cols["width"].append(ws[r])
+                    cols["height"].append(hs[r])
+                    cols["n_frames_total"].append(ts[r])
+                    cols["fps"].append(float(fp[r]))
+                    cols["decoder"].append(dec[r])
+                    cols["mean_r"].append(float(m[0]))
+                    cols["mean_g"].append(float(m[1]))
+                    cols["mean_b"].append(float(m[2]))
+            return pa.table({
+                "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+                "frame_pos": pa.array(cols["frame_pos"], type=pa.int64()),
+                "frame_index": pa.array(cols["frame_index"],
+                                        type=pa.int64()),
+                "width": pa.array(cols["width"], type=pa.int64()),
+                "height": pa.array(cols["height"], type=pa.int64()),
+                "n_frames_total": pa.array(cols["n_frames_total"],
+                                           type=pa.int64()),
+                "fps": pa.array(cols["fps"], type=pa.float64()),
+                "decoder": pa.array(cols["decoder"], type=pa.string()),
+                "mean_r": pa.array(cols["mean_r"], type=pa.float64()),
+                "mean_g": pa.array(cols["mean_g"], type=pa.float64()),
+                "mean_b": pa.array(cols["mean_b"], type=pa.float64()),
+            })
+
+        return vids.map_batches(project, batch_format="pyarrow")
+
     def _pages_dir(sf_dir):
         from medcat_ray.fixtures import pages_from_documents
         docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -755,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_planted": langid_planted,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
+        "multimodal_video_sample": multimodal_video_sample,
         # rows-only (probabilistic LSH banding / heuristic model / stub)
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_candidates_docs": simhash_candidates_docs,
@@ -1029,6 +1106,24 @@ SELECT doc_id,
        'wav' AS decoder,
        ROUND((256 * (1 + doc_id % 16)) / 32768.0, 6) AS e0
 FROM documents
+""",
+        # planted solid-color AVIs: frame count/dims/fps/colors and the
+        # integer-midpoint sampled indices are all doc_id arithmetic
+        "multimodal_video_sample": """
+WITH s AS (
+  SELECT doc_id, i AS frame_pos,
+         ((2 * i + 1) * (2 + doc_id % 5)) // 4 AS frame_index
+  FROM documents, unnest([0, 1]) AS t(i)
+)
+SELECT doc_id, frame_pos, frame_index,
+       4 + doc_id % 6 AS width, 3 + doc_id % 4 AS height,
+       2 + doc_id % 5 AS n_frames_total,
+       CAST(5 + doc_id % 10 AS DOUBLE) AS fps,
+       'avi' AS decoder,
+       CAST((doc_id + 11 * frame_index) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 3 + 17 * frame_index) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 5 + 23 * frame_index) % 256 AS DOUBLE) AS mean_b
+FROM s
 """,
         # planted canonical sentences classify provably to their language
         "langid_planted": """

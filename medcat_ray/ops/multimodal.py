@@ -5,8 +5,9 @@ Decode paths, in priority order per payload:
 
 * REAL builtin decoders (no external libs): PPM/PGM (binary netpbm) and
   uncompressed 24/32-bit BMP images decoded with numpy; PCM WAV audio
-  decoded with the stdlib ``wave`` module.  These are complete, exact
-  decoders — not stubs.
+  decoded with the stdlib ``wave`` module; uncompressed-DIB RIFF/AVI video
+  parsed with ``struct`` + numpy.  These are complete, exact decoders —
+  not stubs.
 * The optional heavy libraries (PIL / torchaudio / ffmpeg) are tried at
   actor ``__init__`` and used for formats the builtins don't cover (JPEG,
   PNG, MP3, …) when present — they are NOT in this container.
@@ -119,6 +120,109 @@ def decode_wav(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     if nch > 1:
         samples = samples.reshape(-1, nch).mean(axis=1)
     return samples, rate
+
+# ---------------------------------------------------------------------------
+# Builtin video codec: uncompressed RIFF/AVI with DIB ('00db') frames.
+# Real encoder + decoder in stdlib struct + numpy — the uncompressed-AVI
+# analogue of the netpbm/BMP/WAV codecs above.  MJPEG/H.264 would need
+# ffmpeg (absent); those payloads fall through to the fake sampler.
+# ---------------------------------------------------------------------------
+
+
+def _dib_frame(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) RGB → bottom-up BGR DIB bits, rows padded to 4 bytes."""
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    return rows.tobytes()
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed AVI
+    (RIFF 'AVI ' / 'vids' 'DIB ' stream / '00db' chunks / idx1)."""
+    import struct
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(payload)) + payload + \
+            (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(four: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four + payload)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_size * fps, 0,
+                       0x10,                      # AVIF_HASINDEX
+                       n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<10I", 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0) + \
+        struct.pack("<4H", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload, idx, off = b"", b"", 4
+    for f in frames:
+        movi_payload += chunk(b"00db", _dib_frame(f))
+        idx += struct.pack("<4sIII", b"00db", 0x10, off, frame_size)
+        off += 8 + frame_size
+    body = hdrl + lst(b"movi", movi_payload) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+def decode_avi(data: bytes) -> Optional[Tuple[np.ndarray, float]]:
+    """Decode an uncompressed-DIB AVI → ((n, h, w, 3) RGB uint8, fps).
+
+    Returns None for non-AVI payloads (including WAV, which is also RIFF);
+    raises ValueError for compressed streams the builtin can't handle."""
+    import struct
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    info = {"w": None, "h": None, "bpp": 24, "comp": 0,
+            "scale": 1, "rate": 0, "usec": 0}
+    raw_frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fcc = data[pos:pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body = pos + 8
+            if fcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fcc == b"avih":
+                info["usec"] = struct.unpack_from("<I", data, body)[0]
+            elif fcc == b"strh" and data[body:body + 4] == b"vids":
+                info["scale"], info["rate"] = \
+                    struct.unpack_from("<2I", data, body + 20)
+            elif fcc == b"strf" and info["w"] is None:
+                (_, info["w"], info["h"], _, info["bpp"], info["comp"]) = \
+                    struct.unpack_from("<IiiHHI", data, body)
+            elif fcc[2:] in (b"db", b"dc") and size:
+                raw_frames.append(data[body:body + size])
+            pos = body + size + (size & 1)
+
+    walk(12, len(data))
+    if info["w"] is None or not raw_frames:
+        return None
+    if info["comp"] != 0 or info["bpp"] not in (24, 32):
+        raise ValueError(f"unsupported AVI stream: {info['bpp']}bpp "
+                         f"compression={info['comp']}")
+    w, nch = info["w"], info["bpp"] // 8
+    flipped, h = info["h"] > 0, abs(info["h"])
+    stride = (w * nch + 3) & ~3
+    out = np.empty((len(raw_frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(raw_frames):
+        rows = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride * h).reshape(h, stride)
+        px = rows[:, :w * nch].reshape(h, w, nch)[:, :, :3][:, :, ::-1]
+        out[i] = px[::-1] if flipped else px
+    fps = info["rate"] / info["scale"] if info["scale"] and info["rate"] \
+        else (1e6 / info["usec"] if info["usec"] else 0.0)
+    return out, float(fps)
+
 
 IMAGE_META_TYPE = pa.struct([
     ("width", pa.int32()), ("height", pa.int32()),
@@ -295,6 +399,75 @@ class AudioFrameSampleStage:
         return pa.table(cols)
 
 
+class VideoFrameSampleStage:
+    """binary video → evenly-sampled frames' per-channel means + metadata.
+
+    Uncompressed-DIB AVI payloads are decoded for REAL by
+    :func:`decode_avi` (``decoder='avi'``): ``n_frames`` frames are picked
+    at ``idx_i = ((2i + 1) * total) // (2 * n_frames)`` (integer midpoint —
+    deterministic and SQL-recomputable) and each sampled frame contributes
+    its per-channel pixel mean.  Compressed formats (would need ffmpeg,
+    unavailable) fall back to the deterministic fake (``decoder='fake'``),
+    or raise under ``strict=True``."""
+
+    def __init__(self, data_col: str = "data", n_frames: int = 2,
+                 strict: bool = False) -> None:
+        self.data_col = data_col
+        self.n_frames = n_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from medcat_ray.ops.hashing import stable_u64
+        widths, heights, totals, fpss = [], [], [], []
+        indices, means, decoders = [], [], []
+        for data in batch[self.data_col].to_pylist():
+            decoded = decode_avi(data)
+            if decoded is not None:
+                frames, fps = decoded
+                total, h, w = frames.shape[:3]
+                k = min(self.n_frames, total)
+                idx = [((2 * i + 1) * total) // (2 * k) for i in range(k)]
+                widths.append(w)
+                heights.append(h)
+                totals.append(total)
+                fpss.append(fps)
+                indices.append(idx)
+                means.append([frames[j].reshape(-1, 3).mean(axis=0)
+                              .astype(np.float32).tolist() for j in idx])
+                decoders.append("avi")
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is not uncompressed-DIB AVI and ffmpeg is "
+                    "unavailable; run with strict=False for the "
+                    "deterministic fake sampler")
+            hsh = stable_u64(data or b"")
+            rng = np.random.default_rng(hsh & 0xFFFFFFFF)
+            total = 2 + int(hsh % 30)
+            k = min(self.n_frames, total)
+            widths.append(16 + int(hsh & 0xFF))
+            heights.append(16 + int((hsh >> 8) & 0xFF))
+            totals.append(total)
+            fpss.append(float(5 + hsh % 25))
+            indices.append([((2 * i + 1) * total) // (2 * k)
+                            for i in range(k)])
+            means.append(rng.uniform(0, 255, size=(k, 3))
+                         .astype(np.float32).tolist())
+            decoders.append("fake")
+        cols = {name: batch[name] for name in batch.column_names
+                if name != self.data_col}
+        cols["width"] = pa.array(widths, type=pa.int32())
+        cols["height"] = pa.array(heights, type=pa.int32())
+        cols["n_frames_total"] = pa.array(totals, type=pa.int32())
+        cols["fps"] = pa.array(fpss, type=pa.float32())
+        cols["frame_indices"] = pa.array(indices,
+                                         type=pa.list_(pa.int32()))
+        cols["frame_means"] = pa.array(
+            means, type=pa.list_(pa.list_(pa.float32())))
+        cols["decoder"] = pa.array(decoders, type=pa.string())
+        return pa.table(cols)
+
+
 def decode_images(ds: rd.Dataset, data_col: str = "data",
                   concurrency: int = 2, batch_size: int = 32) -> rd.Dataset:
     """Actor-pool image decode; small batches — binary payloads are wide."""
@@ -321,5 +494,17 @@ def sample_audio_frames(ds: rd.Dataset, data_col: str = "data",
                         batch_size: int = 32) -> rd.Dataset:
     return ds.map_batches(AudioFrameSampleStage,
                           fn_constructor_kwargs=dict(data_col=data_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_video_frames(ds: rd.Dataset, data_col: str = "data",
+                        n_frames: int = 2, concurrency: int = 2,
+                        batch_size: int = 16) -> rd.Dataset:
+    """Actor-pool video frame sampling; video payloads are the widest of
+    all — keep ``batch_size`` small."""
+    return ds.map_batches(VideoFrameSampleStage,
+                          fn_constructor_kwargs=dict(data_col=data_col,
+                                                     n_frames=n_frames),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)

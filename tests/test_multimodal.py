@@ -131,3 +131,60 @@ def test_audio_stage_wav_exact(ray_session):
     assert out["duration_sec"][0] == 2.0         # 2000 samples @ 1 kHz
     # constant |amplitude| square wave → RMS = 16384/32768 = 0.5 per frame
     assert np.allclose(out["frame_energy"][0], 0.5)
+
+
+def test_avi_roundtrip_exact():
+    from medcat_ray.ops.multimodal import decode_avi, encode_avi
+    rng = np.random.default_rng(11)
+    # odd width → DIB rows need padding; exercises stride logic
+    frames = rng.integers(0, 256, size=(5, 6, 7, 3), dtype=np.uint8)
+    data = encode_avi(frames, fps=12)
+    back, fps = decode_avi(data)
+    assert fps == 12.0
+    assert back.shape == frames.shape
+    assert np.array_equal(back, frames)
+    # non-AVI RIFF (WAV) and garbage → None, not a crash
+    assert decode_avi(_make_wav(np.zeros(10, dtype=np.int16))) is None
+    assert decode_avi(b"not a video") is None
+
+
+def test_video_stage_avi_exact_and_fake(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.multimodal import encode_avi, sample_video_frames
+    # 4 solid-color frames: per-frame means are the planted colors
+    frames = np.stack([np.full((4, 5, 3), (10 * f, 20 * f, 30 * f),
+                               dtype=np.uint8) for f in range(4)])
+    ds = rd.from_items([
+        {"vid": 1, "data": encode_avi(frames, fps=10)},
+        {"vid": 2, "data": b"\x00\x01\x02 opaque codec"},
+    ])
+    out = sample_video_frames(ds, n_frames=2, concurrency=1) \
+        .to_pandas().set_index("vid")
+    real = out.loc[1]
+    assert real["decoder"] == "avi"
+    assert (real["width"], real["height"], real["n_frames_total"]) == (5, 4, 4)
+    assert real["fps"] == 10.0
+    # idx_i = ((2i+1)*4)//(2*2) → frames 1 and 3
+    assert list(real["frame_indices"]) == [1, 3]
+    got = [list(m) for m in real["frame_means"]]
+    assert got == [[10.0, 20.0, 30.0], [30.0, 60.0, 90.0]]
+    fake = out.loc[2]
+    assert fake["decoder"] == "fake" and fake["n_frames_total"] >= 2
+    # strict mode refuses undecodable payloads
+    from medcat_ray.ops.multimodal import VideoFrameSampleStage
+    import pyarrow as pa
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(strict=True)(
+            pa.table({"data": pa.array([b"nope"], type=pa.binary())}))
+
+
+def test_video_sampling_short_video():
+    """Videos with fewer frames than n_frames sample each frame once."""
+    import pyarrow as pa
+    from medcat_ray.ops.multimodal import VideoFrameSampleStage, encode_avi
+    frames = np.full((1, 2, 2, 3), 9, dtype=np.uint8)
+    out = VideoFrameSampleStage(n_frames=4)(
+        pa.table({"data": pa.array([encode_avi(frames)], type=pa.binary())}))
+    row = out.to_pylist()[0]
+    assert row["frame_indices"] == [0]
+    assert row["frame_means"] == [[9.0, 9.0, 9.0]]
