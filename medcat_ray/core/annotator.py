@@ -64,6 +64,7 @@ class DocAnnotator:
             self._cui_unit_vectors[cui] = {
                 t: _unitvec(np.asarray(v, dtype=np.float64))
                 for t, v in ctxs.items()}
+        self._build_sim_matrix()
         # per-CUI projection metadata (sorted type ids + pretty name),
         # computed once per annotator instead of per entity (~350 ents/doc
         # on dense pages made the per-ent sorted() a profile hotspot);
@@ -75,6 +76,80 @@ class DocAnnotator:
         self._min_name_len = self.config.min_name_len
         self._upper_limit = self.config.upper_case_limit_len
         self._name_isupper_get = cdb.name_isupper.get
+
+    def _build_sim_matrix(self) -> None:
+        """Stack the per-CUI unit context vectors into ONE weighted matrix
+        so disambiguation scores every candidate with a single gemv instead
+        of k Python ``_similarity`` calls (k dict walks + 4k np.dot each).
+
+        Layout: row r = CUI r; the row is the concatenation over
+        ``config.context_vector_weights`` types of ``weight_t * unitvec_t``
+        (zeros where the CUI lacks that type — a zero block contributes 0
+        to the dot product, exactly the reference's both-sides-present
+        gate, vector_context_model.py:112-139).  Eligibility
+        (count_train >= threshold) stays a LIVE dict read per candidate —
+        same semantics as the dict path for trainers that mutate counts
+        under a constructed annotator."""
+        self._sim_types = list(self.config.context_vector_weights.items())
+        dim = None
+        for ctxs in self._cui_unit_vectors.values():
+            for v in ctxs.values():
+                if dim is None:
+                    dim = v.shape[0]
+                elif v.shape[0] != dim:
+                    self._sim_matrix = None   # ragged dims: dict fallback
+                    return
+        if dim is None or not self._sim_types:
+            self._sim_matrix = None
+            return
+        n = len(self._cui_unit_vectors)
+        k = len(self._sim_types)
+        M = np.zeros((n, k * dim), dtype=np.float64)
+        self._sim_row: Dict[str, int] = {}
+        for r, (cui, ctxs) in enumerate(self._cui_unit_vectors.items()):
+            self._sim_row[cui] = r
+            for j, (t, w) in enumerate(self._sim_types):
+                v = ctxs.get(t)
+                if v is not None:
+                    M[r, j * dim:(j + 1) * dim] = w * v
+        self._sim_matrix = M
+        self._sim_dim = dim
+
+    def _sim_doc_vec(self, unit_vectors: Dict[str, np.ndarray]) -> np.ndarray:
+        """Concatenate the doc-side unit context vectors in matrix block
+        order (zeros for absent types)."""
+        dim = self._sim_dim
+        vcat = np.zeros(len(self._sim_types) * dim, dtype=np.float64)
+        for j, (t, _w) in enumerate(self._sim_types):
+            v = unit_vectors.get(t)
+            if v is not None:
+                vcat[j * dim:(j + 1) * dim] = v
+        return vcat
+
+    def _similarity_many(self, cuis: List[str],
+                         unit_vectors: Dict[str, np.ndarray]) -> np.ndarray:
+        """Vectorized ``_similarity`` over candidate CUIs: one row-gather +
+        gemv.  Returns float64 sims with -1.0 for ineligible candidates
+        (no vectors or count_train below threshold)."""
+        sims = np.full(len(cuis), -1.0, dtype=np.float64)
+        M = self._sim_matrix
+        if M is None:
+            for i, c in enumerate(cuis):
+                sims[i] = self._similarity(c, unit_vectors)
+            return sims
+        row_get = self._sim_row.get
+        cnt_get = self.cdb.cui2count_train.get
+        thr = self.config.train_count_threshold
+        rows: List[int] = []
+        pos: List[int] = []
+        for i, c in enumerate(cuis):
+            r = row_get(c)
+            if r is not None and cnt_get(c, 0) >= thr:
+                rows.append(r)
+                pos.append(i)
+        if rows:
+            sims[pos] = M[rows] @ self._sim_doc_vec(unit_vectors)
+        return sims
 
     # -- public API -------------------------------------------------------
 
@@ -265,7 +340,7 @@ class DocAnnotator:
         if not cuis:
             return None, 0.0
         unit_vectors = self._unit_context(ctx.vectors_for(ent))
-        sims = [self._similarity(c, unit_vectors) for c in cuis]
+        sims = self._similarity_many(cuis, unit_vectors)
 
         if cfg.prefer_primary_name > 0:
             statuses = cdb.name2cuis2status.get(name, {})
@@ -273,11 +348,16 @@ class DocAnnotator:
                 if sims[i] > 0 and statuses.get(cui, "") in ("P", "PD"):
                     sims[i] = min(0.99, sims[i] + sims[i] * cfg.prefer_primary_name)
         if cfg.prefer_frequent_concepts > 0:
-            cnts = [cdb.cui2count_train.get(c, 0) for c in cuis]
-            m = min(cnts) if min(cnts) > 0 else 1
-            scales = [np.log10(cnt / m) * cfg.prefer_frequent_concepts
-                      if cnt > 10 else 0.0 for cnt in cnts]
-            sims = [min(0.99, s + s * scales[i]) for i, s in enumerate(sims)]
+            cnts = np.fromiter((cdb.cui2count_train.get(c, 0) for c in cuis),
+                               dtype=np.float64, count=len(cuis))
+            mn = cnts.min() if len(cnts) else 0.0
+            m = mn if mn > 0 else 1.0
+            scales = np.zeros(len(cuis), dtype=np.float64)
+            hot = cnts > 10
+            if hot.any():
+                scales[hot] = np.log10(cnts[hot] / m) \
+                    * cfg.prefer_frequent_concepts
+            sims = np.minimum(0.99, sims + sims * scales)
 
         mx = int(np.argmax(sims))
         return cuis[mx], float(sims[mx])
@@ -354,12 +434,13 @@ class _DocContext:
         self.ctx_ok = np.fromiter(
             (not (t.to_skip or t.is_stop or t.is_digit or t.is_punct)
              for t in tokens), dtype=bool, count=n)
+        # sorted positions of context-eligible tokens: window membership
+        # becomes two scalar searchsorteds instead of a boolean scan +
+        # nonzero per entity side
+        self.ok_pos = np.nonzero(self.ctx_ok)[0]
         # distance-decay weights, precomputed out to the largest window
         self.max_size = max(config.context_vector_sizes.values(), default=0)
-        from medcat_ray.config import weighted_average
-        self.decay = np.array([weighted_average(s)
-                               for s in range(self.max_size)],
-                              dtype=np.float64)
+        self.decay = _decay_table(self.max_size)
 
     def vectors_for(self, ent: Entity) -> Dict[str, np.ndarray]:
         """Reference get_context_vectors (vector_context_model.py:54-93):
@@ -378,11 +459,11 @@ class _DocContext:
         max_size = self.max_size
         vectors: Dict[str, np.ndarray] = {}
 
-        lo = max(0, start_ind - max_size)
-        left_pos = (np.nonzero(self.ctx_ok[lo:start_ind])[0] + lo)[::-1]
-        right_hi = min(len(self.tokens), end_ind + 1 + max_size)
-        right_pos = np.nonzero(self.ctx_ok[end_ind + 1:right_hi])[0] \
-            + end_ind + 1
+        opos = self.ok_pos
+        a = int(opos.searchsorted(start_ind))          # first ok >= start
+        b = int(opos.searchsorted(end_ind + 1))        # first ok > span end
+        left_pos = opos[int(opos.searchsorted(start_ind - max_size)):a][::-1]
+        right_pos = opos[b:int(opos.searchsorted(end_ind + 1 + max_size))]
 
         def side(pos: np.ndarray):
             # steps enumerate ALL filtered-context tokens (including
@@ -409,10 +490,10 @@ class _DocContext:
             csum = V[center_idx].sum(axis=0, dtype=np.float64)
 
         for ctx_type, size in cfg.context_vector_sizes.items():
-            ml = int(np.count_nonzero(left_pos >= start_ind - size))
-            mr = int(np.count_nonzero(right_pos < end_ind + 1 + size))
-            kl = int(np.searchsorted(lsteps, ml)) if lcum is not None else 0
-            kr = int(np.searchsorted(rsteps, mr)) if rcum is not None else 0
+            ml = a - int(opos.searchsorted(start_ind - size))
+            mr = int(opos.searchsorted(end_ind + 1 + size)) - b
+            kl = int(lsteps.searchsorted(ml)) if lcum is not None else 0
+            kr = int(rsteps.searchsorted(mr)) if rcum is not None else 0
             n_rows = kl + kr + (int(center_idx.size) if use_center else 0)
             if n_rows == 0:
                 continue
@@ -425,6 +506,21 @@ class _DocContext:
                 total += rcum[kr - 1]
             vectors[ctx_type] = total / n_rows
         return vectors
+
+
+_DECAY_CACHE: Dict[int, np.ndarray] = {}
+
+
+def _decay_table(max_size: int) -> np.ndarray:
+    """Distance-decay weights out to ``max_size`` steps, cached per size
+    (previously rebuilt for every document's ``_DocContext``)."""
+    tbl = _DECAY_CACHE.get(max_size)
+    if tbl is None:
+        from medcat_ray.config import weighted_average
+        tbl = np.array([weighted_average(s) for s in range(max_size)],
+                       dtype=np.float64)
+        _DECAY_CACHE[max_size] = tbl
+    return tbl
 
 
 def _unitvec(v: np.ndarray) -> np.ndarray:
