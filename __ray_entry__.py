@@ -120,6 +120,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["doc_id", "n_words", "mean_word_len", "stopword_ratio"]] \
             .sort_values("doc_id").reset_index(drop=True)
 
+    def doc_repetition(sf_dir):
+        """Gopher-style repetition signals (dup n-gram fractions, top
+        2-gram char fraction, keep flag) — oracle-checked: DuckDB
+        recomputes the n-grams via unnest(range()) position joins."""
+        import ray.data as rd
+        from medcat_ray.ops.textstats import add_repetition
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = add_repetition(ds).to_pandas()
+        return out[["doc_id", "dup_2gram_frac", "dup_3gram_frac",
+                    "top_2gram_char_frac", "repetition_ok"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def corpus_top_bigrams(sf_dir):
+        """Corpus-wide top-20 word bigrams: distinct-gram combiner →
+        native groupby-sum → per-block partial top-k → tiny driver merge."""
+        import ray.data as rd
+        from medcat_ray.ops.textstats import top_bigrams
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"])
+        return top_bigrams(ds, k=20).to_pandas()
+
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
         from medcat_ray.ops.dedup import exact_dedup
@@ -815,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (SQL-checked)
         "doc_token_stats": doc_token_stats,
         "doc_text_quality": doc_text_quality,
+        "doc_repetition": doc_repetition,
+        "corpus_top_bigrams": corpus_top_bigrams,
         "exact_dedup_docs": exact_dedup_docs,
         "knn_top10": knn_top10,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -1048,6 +1072,48 @@ SELECT doc_id,
                              x -> x IN ('a', 'the')))
              * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio
 FROM documents
+""",
+        # Gopher repetition rules: DuckDB rebuilds the word n-grams with
+        # lateral range joins over the split token list; dup fraction is
+        # (total - distinct)/total, top-2-gram char fraction maximizes
+        # count*char_len (space included) over distinct 2-grams.
+        "doc_repetition": """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+gi2 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks),
+g2 AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM gi2),
+g2c AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM g2 GROUP BY ALL),
+a2 AS (SELECT doc_id, SUM(c) AS total2, COUNT(*) AS distinct2,
+              MAX(c * (length(w1) + 1 + length(w2))) AS top2
+       FROM g2c GROUP BY doc_id),
+gi3 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks),
+g3 AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 FROM gi3),
+g3c AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS c FROM g3 GROUP BY ALL),
+a3 AS (SELECT doc_id, SUM(c) AS total3, COUNT(*) AS distinct3
+       FROM g3c GROUP BY doc_id)
+SELECT t.doc_id,
+  ROUND(COALESCE((total2 - distinct2) * 1.0 / total2, 0), 6)
+      AS dup_2gram_frac,
+  ROUND(COALESCE((total3 - distinct3) * 1.0 / total3, 0), 6)
+      AS dup_3gram_frac,
+  ROUND(COALESCE(top2 * 1.0 / NULLIF(n_chars, 0), 0), 6)
+      AS top_2gram_char_frac,
+  (COALESCE(top2 * 1.0 / NULLIF(n_chars, 0), 0) <= 0.20
+   AND COALESCE((total3 - distinct3) * 1.0 / total3, 0) <= 0.30)
+      AS repetition_ok
+FROM toks t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""",
+        "corpus_top_bigrams": """
+WITH toks AS (SELECT list_filter(string_split(text, ' '),
+                                 w -> w <> '') AS ws FROM documents),
+gi2 AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks),
+g2 AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM gi2)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM g2 GROUP BY w1, w2
+ORDER BY pair_count DESC, w1, w2 LIMIT 20
 """,
         "exact_dedup_docs": """
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

@@ -88,6 +88,164 @@ def add_fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(_fp, batch_format="pyarrow")
 
 
+def add_repetition(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1 — public filtering rules used by
+    most LLM-corpus pipelines; also RefinedWeb/Dolma):
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of word n-grams
+      that are repeats of an earlier identical n-gram in the same doc,
+      computed as ``(total - distinct) / total`` (0 when the doc has
+      fewer than n tokens).
+    - ``top_2gram_char_frac``: ``max over distinct 2-grams of
+      count * char_len(gram) / n_chars`` where ``char_len`` counts the
+      joining space (deterministic under count ties — it maximizes a
+      scalar, not "the most frequent gram").
+    - ``repetition_ok``: the Gopher keep-rule (top-2-gram char fraction
+      ≤ 0.20 and duplicate-3-gram fraction ≤ 0.30).
+
+    Whole-batch vectorized: tokens of every doc in the batch are pooled,
+    integer-coded once (``np.unique``), n-gram multiplicities come from a
+    single void-view ``np.unique`` over (doc, gram) rows and per-doc
+    reductions are ``bincount``/``maximum.at`` — no per-row Counter.
+    Tokenization is single-space split (matching the SQL oracle's
+    ``string_split(text, ' ')``).
+    """
+    def _rep(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        tok_lists = [(t.split(" ") if t else []) for t in texts]
+        # drop empty tokens (leading/trailing/double spaces)
+        tok_lists = [[w for w in ws if w] for ws in tok_lists]
+        counts = np.fromiter((len(ws) for ws in tok_lists),
+                             dtype=np.int64, count=n)
+        n_chars = np.fromiter((len(t) if t else 0 for t in texts),
+                              dtype=np.int64, count=n)
+        flat: list = []
+        for ws in tok_lists:
+            flat.extend(ws)
+        out = {
+            "dup_2gram_frac": np.zeros(n, dtype=np.float64),
+            "dup_3gram_frac": np.zeros(n, dtype=np.float64),
+            "top_2gram_char_frac": np.zeros(n, dtype=np.float64),
+        }
+        if flat:
+            toks = np.array(flat, dtype=object)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            tlen = np.fromiter((len(u) for u in uniq),
+                               dtype=np.int64, count=len(uniq))
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+            def gram_stats(k: int):
+                """(doc, distinct-gram, count, member token-ids) for
+                order-k grams that do not cross doc boundaries."""
+                if len(inv) < k:
+                    return None
+                cols = [inv[i:len(inv) - (k - 1) + i] for i in range(k)]
+                same = doc_idx[:len(doc_idx) - (k - 1)] == \
+                    doc_idx[k - 1:]
+                d = doc_idx[:len(doc_idx) - (k - 1)][same]
+                cols = [c[same] for c in cols]
+                if d.size == 0:
+                    return None
+                arr = np.ascontiguousarray(
+                    np.stack([d] + cols, axis=1).astype(np.int64))
+                v = arr.view([("", np.int64)] * (k + 1)).ravel()
+                _, first, cnt = np.unique(v, return_index=True,
+                                          return_counts=True)
+                return d, first, cnt, cols
+
+            for k in ("2", "3"):
+                kk = int(k)
+                st = gram_stats(kk)
+                if st is None:
+                    continue
+                d, first, cnt, cols = st
+                total = np.bincount(d, minlength=n).astype(np.float64)
+                distinct = np.bincount(d[first], minlength=n) \
+                    .astype(np.float64)
+                has = total > 0
+                out[f"dup_{k}gram_frac"][has] = \
+                    (total[has] - distinct[has]) / total[has]
+                if kk == 2:
+                    glen = tlen[cols[0][first]] + tlen[cols[1][first]] + 1
+                    val = cnt * glen
+                    mx = np.zeros(n, dtype=np.int64)
+                    np.maximum.at(mx, d[first], val)
+                    ok = n_chars > 0
+                    out["top_2gram_char_frac"][ok] = \
+                        mx[ok] / n_chars[ok]
+        rep_ok = (out["top_2gram_char_frac"] <= 0.20) \
+            & (out["dup_3gram_frac"] <= 0.30)
+        t = batch
+        for name, arr in out.items():
+            t = t.append_column(name, pa.array(np.round(arr, 6)))
+        return t.append_column("repetition_ok",
+                               pa.array(rep_ok, type=pa.bool_()))
+    return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+def top_bigrams(ds: rd.Dataset, text_col: str = "text",
+                k: int = 20) -> rd.Dataset:
+    """Corpus-level top-k word bigrams: per-batch combiner emits one row
+    per distinct (w1, w2) per batch (the same pre-aggregation shape as the
+    triple-count combiner — the shuffle carries distinct grams, not
+    occurrences), then a native groupby-sum and a driver-side top-k over
+    the already-tiny aggregate.  Deterministic tie-break: count desc,
+    then (w1, w2) asc."""
+    def _combine(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        tok_lists = [[w for w in (t.split(" ") if t else []) if w]
+                     for t in texts]
+        flat: list = []
+        for ws in tok_lists:
+            flat.extend(ws)
+        if not flat:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "pair_count": pa.array([], type=pa.int64())})
+        counts = np.fromiter((len(ws) for ws in tok_lists),
+                             dtype=np.int64, count=len(tok_lists))
+        toks = np.array(flat, dtype=object)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64),
+                            counts)
+        if len(inv) < 2:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "pair_count": pa.array([], type=pa.int64())})
+        a, b = inv[:-1], inv[1:]
+        same = doc_idx[:-1] == doc_idx[1:]
+        a, b = a[same], b[same]
+        if a.size == 0:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "pair_count": pa.array([], type=pa.int64())})
+        code = a.astype(np.int64) * len(uniq) + b
+        ug, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "w1": pa.array(uniq[ug // len(uniq)], type=pa.string()),
+            "w2": pa.array(uniq[ug % len(uniq)], type=pa.string()),
+            "pair_count": pa.array(cnt.astype(np.int64),
+                                   type=pa.int64())})
+    from ray.data.aggregate import Sum
+
+    def _partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-block pruning: the driver merge sees ≤ blocks × k rows,
+        # never the full distinct-bigram cardinality
+        return batch.sort_values(["pair_count", "w1", "w2"],
+                                 ascending=[False, True, True]).head(k)
+
+    agg = (ds.map_batches(_combine, batch_format="pyarrow")
+           .groupby(["w1", "w2"])
+           .aggregate(Sum("pair_count", alias_name="pair_count"))
+           .map_batches(_partial_topk, batch_format="pandas"))
+    df = agg.to_pandas().sort_values(
+        ["pair_count", "w1", "w2"],
+        ascending=[False, True, True]).head(k).reset_index(drop=True)
+    return rd.from_pandas(df)
+
+
 # ---------------------------------------------------------------------------
 # Language identification — frozen char-n-gram/stopword profiles.
 #

@@ -207,3 +207,51 @@ def test_knn_ivf_recall(ray_session):
     merged = approx.merge(exact, on=["query_id", "neighbor_id"],
                           suffixes=("_a", "_e"))
     assert (abs(merged["score_a"] - merged["score_e"]) < 1e-6).all()
+
+
+def test_repetition_signals_match_counter_brute_force(ray_session, docs_ds):
+    """add_repetition's pooled-unique vectorization equals a per-doc
+    Counter reference, including synthetic edge docs (empty, single
+    token, all-identical tokens)."""
+    from collections import Counter
+    import ray.data as rd
+    from medcat_ray.ops.textstats import add_repetition
+    rows = [{"doc_id": 0, "text": "a b a b a b"},      # heavy 2-gram rep
+            {"doc_id": 1, "text": "x"},                # no grams
+            {"doc_id": 2, "text": ""},                 # empty
+            {"doc_id": 3, "text": "w w w w w w w w"},  # all identical
+            {"doc_id": 4, "text": "one two three four five"}]
+    out = add_repetition(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id")
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        g2, g3 = list(zip(ws, ws[1:])), list(zip(ws, ws[1:], ws[2:]))
+        d2 = (len(g2) - len(set(g2))) / len(g2) if g2 else 0.0
+        d3 = (len(g3) - len(set(g3))) / len(g3) if g3 else 0.0
+        top = max((c * (len(a) + 1 + len(b))
+                   for (a, b), c in Counter(g2).items()), default=0) \
+            / max(1, len(r["text"]))
+        got = out.loc[r["doc_id"]]
+        assert got["dup_2gram_frac"] == pytest.approx(d2, abs=1e-6)
+        assert got["dup_3gram_frac"] == pytest.approx(d3, abs=1e-6)
+        assert got["top_2gram_char_frac"] == pytest.approx(top, abs=1e-6)
+        assert bool(got["repetition_ok"]) == (top <= 0.20 and d3 <= 0.30)
+    # and over the natural corpus: flag agrees with recomputation
+    nat = add_repetition(docs_ds).to_pandas()
+    assert len(nat) == docs_ds.count()
+    assert (nat["repetition_ok"] == ((nat["top_2gram_char_frac"] <= 0.20)
+            & (nat["dup_3gram_frac"] <= 0.30))).all()
+
+
+def test_top_bigrams_matches_counter(ray_session, docs_ds):
+    from collections import Counter
+    import pyarrow.parquet as pq
+    from medcat_ray.ops.textstats import top_bigrams
+    got = top_bigrams(docs_ds, k=15).to_pandas()
+    cc = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet").to_pandas()["text"]:
+        ws = [w for w in t.split(" ") if w]
+        cc.update(zip(ws, ws[1:]))
+    exp = sorted(cc.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r.w1, r.w2, r.pair_count) for r in got.itertuples()] \
+        == [(a, b, c) for (a, b), c in exp]
