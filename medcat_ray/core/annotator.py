@@ -76,6 +76,14 @@ class DocAnnotator:
         self._min_name_len = self.config.min_name_len
         self._upper_limit = self.config.upper_case_limit_len
         self._name_isupper_get = cdb.name_isupper.get
+        # memoized NER state machine (see _ner): per-token start
+        # resolution and per-(name, token) extension steps.  Both caches
+        # replay the ORIGINAL lookup logic on miss, so semantics are
+        # identical; cleared whenever cdb.mutation_count moves (trainer
+        # add_concept mutates snames/name2cuis under a live annotator).
+        self._ner_start_cache: Dict[object, tuple] = {}
+        self._ner_ext_cache: Dict[tuple, tuple] = {}
+        self._ner_cache_version = getattr(cdb, "mutation_count", 0)
 
     def _build_sim_matrix(self) -> None:
         """Stack the per-CUI unit context vectors into ONE weighted matrix
@@ -181,67 +189,150 @@ class DocAnnotator:
 
     def _ner(self, tokens: List[Token]) -> List[Entity]:
         """Greedy longest-match over snames/name2cuis
-        (reference NER.__call__, vocab_based_ner.py:36-97)."""
+        (reference NER.__call__, vocab_based_ner.py:36-97).
+
+        Memoized state machine: the start-token resolution (norm/lower vs
+        snames/name2cuis precedence) and each extension step
+        (concat+lookup, reverse-order probe) depend only on the token's
+        (norm, lower) pair — resp. (name, norm, lower) — so both are
+        cached per annotator with the acceptance verdict folded in
+        (:meth:`_ner_start_state` / :meth:`_ner_ext_state` replay the
+        reference logic on miss).  The hot loop is then one dict hit per
+        token / per extension step.  ``is_stop`` and the all-upper token
+        scan stay live (token-dependent)."""
         cdb = self.cdb
         cfg = self.config
-        sep = cfg.separator
-        snames = cdb.snames
-        name2cuis = cdb.name2cuis
         max_skip = cfg.max_skip_tokens
-        try_reverse = cfg.try_reverse_word_order
         ents: List[Entity] = []
+
+        mc = getattr(cdb, "mutation_count", 0)
+        if mc != self._ner_cache_version:
+            self._ner_start_cache.clear()
+            self._ner_ext_cache.clear()
+            self._ner_cache_version = mc
+        start_cache = self._ner_start_cache
+        ext_cache = self._ner_ext_cache
+        start_get = start_cache.get
+        ext_get = ext_cache.get
+        n_ents = 0
 
         _doc = [t for t in tokens if not t.to_skip]
         n = len(_doc)
         for i in range(n):
             tkn = _doc[i]
-            tkns = [tkn]
-            name = ""
-            nv_in_names = None
-            nv_in_snames = None
-            versions = (tkn.norm,) if tkn.norm == tkn.lower \
-                else (tkn.norm, tkn.lower)  # skip the duplicate lookup
-            for name_version in versions:
-                if nv_in_snames is None and name_version in snames:
-                    nv_in_snames = name_version
-                if nv_in_names is None and name_version in name2cuis:
-                    nv_in_names = name_version
-            if nv_in_names is not None:
-                name = nv_in_names
-            elif nv_in_snames is not None:
-                name = nv_in_snames
-            if name in name2cuis and not tkn.is_stop:
-                self._maybe_annotate(name, tkns, ents)
+            norm = tkn.norm
+            key = norm if norm == tkn.lower else (norm, tkn.lower)
+            st = start_get(key)
+            if st is None:
+                st = start_cache[key] = self._ner_start_state(
+                    norm, tkn.lower)
+            name, code, cuis = st
+            # code: 0 = no annotation; 1 = accept; 2 = accept iff token
+            # is upper-case (single-token branch of the acceptance rules)
+            if code and not tkn.is_stop and (code == 1 or tkn.is_upper):
+                ents.append(Entity([tkn], name, cuis, n_ents))
+                n_ents += 1
             if not name:
                 continue
+            tkns = [tkn]
             for j in range(i + 1, n):
                 if _doc[j].idx - _doc[j - 1].idx - 1 > max_skip:
                     break
                 tkn = _doc[j]
                 tkns.append(tkn)
-                name_changed = False
-                name_reverse = None
-                versions = (tkn.norm,) if tkn.norm == tkn.lower \
-                    else (tkn.norm, tkn.lower)
-                for name_version in versions:
-                    _name = name + sep + name_version
-                    if _name in snames:
-                        name = _name
-                        name_changed = True
-                        break
-                    if try_reverse:
-                        _name_rev = name_version + sep + name
-                        if _name_rev in snames:
-                            name_reverse = _name_rev
-                if name_changed:
-                    if name in name2cuis:
-                        self._maybe_annotate(name, tkns, ents)
-                elif name_reverse is not None:
-                    if name_reverse in name2cuis:
-                        self._maybe_annotate(name_reverse, tkns, ents)
-                else:
+                ekey = (name, tkn.norm) if tkn.norm == tkn.lower \
+                    else (name, tkn.norm, tkn.lower)
+                ex = ext_get(ekey)
+                if ex is None:
+                    ex = ext_cache[ekey] = self._ner_ext_state(
+                        name, tkn.norm, tkn.lower)
+                new_name, code, cuis, is_ext = ex
+                if is_ext is None:     # no extension, no reverse: stop
                     break
+                # code: 0 = no annotation; 1 = accept; 2 = accept iff all
+                # matched tokens are upper-case (multi-token branch)
+                if code and (code == 1
+                             or all(t.is_upper for t in tkns)):
+                    ents.append(Entity(list(tkns), new_name, cuis, n_ents))
+                    n_ents += 1
+                if is_ext:             # reverse match keeps the old name
+                    name = new_name
+        if len(start_cache) > 1_000_000:   # bound per-actor heap
+            start_cache.clear()
+        if len(ext_cache) > 2_000_000:
+            ext_cache.clear()
         return ents
+
+    def _ner_start_state(self, norm: str, lower: str) -> tuple:
+        """Start-token resolution + acceptance verdict, computed once per
+        distinct (norm, lower).  Returns ``(name, code, cuis)`` where
+        ``name`` is the resolved match prefix ('' = not in snames/names:
+        no extension), ``cuis`` the live name2cuis list and ``code`` the
+        single-token acceptance verdict (see _ner)."""
+        snames = self.cdb.snames
+        name2cuis = self.cdb.name2cuis
+        nv_in_names = None
+        nv_in_snames = None
+        versions = (norm,) if norm == lower else (norm, lower)
+        for name_version in versions:
+            if nv_in_snames is None and name_version in snames:
+                nv_in_snames = name_version
+            if nv_in_names is None and name_version in name2cuis:
+                nv_in_names = name_version
+        if nv_in_names is not None:
+            name = nv_in_names
+        elif nv_in_snames is not None:
+            name = nv_in_snames
+        else:
+            return ("", 0, None)
+        cuis = name2cuis.get(name)
+        if cuis is None or len(name) < self._min_name_len:
+            return (name, 0, cuis)
+        # single-token acceptance (vocab_based_annotator.py:13-65):
+        # upper-CDB-name rule demands an upper token; short names demand
+        # a single upper token — both collapse to "needs token.is_upper"
+        alpha = self._check_upper and self._name_isupper_get(name, False)
+        gamma = len(name) >= self._upper_limit
+        return (name, 1 if (gamma and not alpha) else 2, cuis)
+
+    def _ner_ext_state(self, name: str, norm: str, lower: str) -> tuple:
+        """One extension step of the greedy matcher, computed once per
+        distinct (name, norm, lower).  Returns
+        ``(new_name, code, cuis, is_ext)``: ``is_ext`` None = dead end
+        (break), True = name extended, False = reverse-order match (name
+        stays); ``code`` is the multi-token acceptance verdict."""
+        cfg = self.config
+        snames = self.cdb.snames
+        name2cuis = self.cdb.name2cuis
+        sep = cfg.separator
+        name_changed = False
+        name_reverse = None
+        new_name = None
+        versions = (norm,) if norm == lower else (norm, lower)
+        for name_version in versions:
+            _name = name + sep + name_version
+            if _name in snames:
+                new_name = _name
+                name_changed = True
+                break
+            if cfg.try_reverse_word_order:
+                _name_rev = name_version + sep + name
+                if _name_rev in snames:
+                    name_reverse = _name_rev
+        if name_changed:
+            nm, is_ext = new_name, True
+        elif name_reverse is not None:
+            nm, is_ext = name_reverse, False
+        else:
+            return (None, 0, None, None)
+        cuis = name2cuis.get(nm)
+        if cuis is None or len(nm) < self._min_name_len \
+                or len(nm) < self._upper_limit:
+            # multi-token acceptance needs len >= upper_case_limit_len
+            # (the single-upper-token arm can't fire with >1 token)
+            return (nm, 0, cuis, is_ext)
+        alpha = self._check_upper and self._name_isupper_get(nm, False)
+        return (nm, 2 if alpha else 1, cuis, is_ext)
 
     def _maybe_annotate(self, name: str, tkns: List[Token],
                         ents: List[Entity]) -> None:

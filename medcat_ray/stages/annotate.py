@@ -25,6 +25,25 @@ from medcat_ray.functions.html import extract_text
 from medcat_ray.state.cdb import CDB
 from medcat_ray.state.vocab import Vocab
 
+def tune_actor_gc() -> None:
+    """CPython GC tuning for a long-lived model-holding actor.
+
+    The loaded CDB is a graph of millions of dicts/sets/strings that stays
+    alive for the actor's whole life, yet every full collection re-scans
+    it; with per-doc Token/Entity churn triggering frequent collections,
+    GC measured ~30% of annotate wall time.  ``gc.freeze()`` moves the
+    loaded graph to the permanent generation (never re-scanned) and the
+    raised thresholds make the remaining young-gen passes rare.  Cyclic
+    garbage is still collected — just infrequently; per-doc objects are
+    acyclic and die by refcount.  Call at the END of an actor
+    ``__init__``, after all heavy state is built.
+    """
+    import gc
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(100_000, 50, 50)
+
+
 ENTITY_TYPE = pa.struct([
     ("ent_id", pa.int32()),
     ("cui", pa.string()),
@@ -81,6 +100,7 @@ class AnnotateStage:
         self.text_column = text_column
         self.key_column = key_column
         self.keep_columns = keep_columns
+        tune_actor_gc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()

@@ -28,6 +28,7 @@ import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
+from medcat_ray.stages.annotate import tune_actor_gc
 
 META_ANN_TYPE = pa.struct([
     ("name", pa.string()),
@@ -95,6 +96,7 @@ class MetaAnnotateStage:
                  text_column: str = "text") -> None:
         self.rules = tuple(rules) if rules is not None else DEFAULT_RULES
         self.text_column = text_column
+        tune_actor_gc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()

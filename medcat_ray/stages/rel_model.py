@@ -28,6 +28,7 @@ import pyarrow as pa
 
 from medcat_ray.ops.hashing import stable_u64
 from medcat_ray.stages.meta_model import _softmax
+from medcat_ray.stages.annotate import tune_actor_gc
 
 _TOK_RE = re.compile(r"[A-Za-z0-9]+")
 
@@ -143,6 +144,7 @@ class RelScoreStage:
         self.key_column = key_column
         self.text_column = text_column
         self.min_confidence = min_confidence
+        tune_actor_gc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys_out, subj_out, pred_out, obj_out, conf_out = [], [], [], [], []

@@ -19,7 +19,7 @@ from typing import Callable, List, Optional, Tuple, Union
 
 import pyarrow as pa
 
-from medcat_ray.stages.annotate import ENTS_LIST_TYPE
+from medcat_ray.stages.annotate import tune_actor_gc, ENTS_LIST_TYPE
 
 
 class TransformersNERStage:
@@ -49,6 +49,7 @@ class TransformersNERStage:
                 "real HF model loading not implemented in this build")
         self.text_column = text_column
         self.key_column = key_column
+        tune_actor_gc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
