@@ -56,6 +56,9 @@ class DocAnnotator:
         # per-annotator norm cache: (lower, is_punct) -> norm; amortizes
         # lemmatize/spell work across the documents one actor processes
         self.norm_cache: dict = {}
+        # per-annotator token intern cache: raw token text -> every
+        # offset-independent Token field (see process_text)
+        self.tok_cache: dict = {}
         # Pre-normalize CUI vectors once: unitvec of each context vector
         # (reference recomputes unitvec per similarity call,
         # vector_context_model.py:131 — same value, done once here).
@@ -174,7 +177,8 @@ class DocAnnotator:
         postprocessing.py:47) and the token list, for parity tests."""
         text = text[: self.config.max_document_length]
         tokens = process_text(text, self.config, self.spell_checker,
-                              self.stopwords, self.norm_cache)
+                              self.stopwords, self.norm_cache,
+                              self.tok_cache)
         raw_ents = self._ner(tokens)
         linked = self._link(raw_ents, tokens)
         # span char length == end - start (offsets index into text); the
@@ -461,13 +465,22 @@ class DocAnnotator:
         ordered = sorted(ents, key=lambda e: e.end - e.start,
                          reverse=True)
         claimed: Set[int] = set()
+        add = claimed.add
         main: List[Entity] = []
+        ap = main.append
         for ent in ordered:
-            idxs = [t.idx for t in ent.tokens]
+            tks = ent.tokens
+            if len(tks) == 1:          # dominant case: no list/genexpr
+                ix = tks[0].idx
+                if ix not in claimed:
+                    add(ix)
+                    ap(ent)
+                continue
+            idxs = [t.idx for t in tks]
             if any(ix in claimed for ix in idxs):
                 continue
             claimed.update(idxs)
-            main.append(ent)
+            ap(ent)
         return main
 
     # -- projection (M12-M13) ---------------------------------------------

@@ -321,10 +321,47 @@ def normalize_tokens(tokens: List[Token], config: EngineConfig,
 def process_text(text: str, config: EngineConfig,
                  spell_checker: Optional[SpellChecker] = None,
                  stopwords: Optional[Set[str]] = None,
-                 norm_cache: Optional[Dict[tuple, str]] = None
+                 norm_cache: Optional[Dict[tuple, str]] = None,
+                 tok_cache: Optional[Dict[str, tuple]] = None
                  ) -> List[Token]:
-    """tokenize → tag → normalize, the full M2-M4 preprocessing chain."""
-    tokens = tokenize(text, config.diacritics)
-    tag_tokens(tokens, config, stopwords)
-    normalize_tokens(tokens, config, spell_checker, norm_cache)
+    """tokenize → tag → normalize, the full M2-M4 preprocessing chain.
+
+    With ``tok_cache`` (a per-annotator dict), every field of a token
+    except its offsets/index is computed ONCE per distinct raw token text
+    — tag + norm flags depend only on the text under a fixed
+    config/stopword set — and later occurrences are materialized with one
+    dict hit + slot stores (the 3-pass chain costs lower()/isdigit()/
+    isupper()/branching per occurrence instead).  The miss path runs the
+    ORIGINAL tag/normalize code on a singleton token, so semantics are
+    byte-identical."""
+    if tok_cache is None:
+        tokens = tokenize(text, config.diacritics)
+        tag_tokens(tokens, config, stopwords)
+        normalize_tokens(tokens, config, spell_checker, norm_cache)
+        return tokens
+    scan = _SCAN_RE_DIACRITICS if config.diacritics else _SCAN_RE
+    tokens: List[Token] = []
+    ap = tokens.append
+    cache_get = tok_cache.get
+    new = Token.__new__
+    for idx, m in enumerate(scan.finditer(text)):
+        s = m.group(0)
+        proto = cache_get(s)
+        if proto is None:
+            tk = Token(s, 0, len(s), 0)
+            tag_tokens([tk], config, stopwords)
+            normalize_tokens([tk], config, spell_checker, norm_cache)
+            if len(tok_cache) > 1_000_000:   # bound per-actor heap
+                tok_cache.clear()
+            proto = tok_cache[s] = (
+                tk.lower, tk.is_punct, tk.to_skip, tk.is_stop,
+                tk.is_digit, tk.is_upper, tk.norm)
+        t = new(Token)
+        t.text = s
+        (t.lower, t.is_punct, t.to_skip, t.is_stop,
+         t.is_digit, t.is_upper, t.norm) = proto
+        t.start = m.start()
+        t.end = m.end()
+        t.idx = idx
+        ap(t)
     return tokens
