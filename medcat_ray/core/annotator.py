@@ -189,6 +189,32 @@ class DocAnnotator:
         return {"entities": self._project(main, text),
                 "linked": linked_sorted, "tokens": tokens}
 
+    def annotate_spans(self, text: str):
+        """Count-job projection: the same M1-M12 chain as
+        :meth:`annotate_full` but emitting only what triple counting
+        consumes — ``(starts, cuis, sources)`` parallel lists sorted by
+        start offset, with cui2group canonicalization applied.  Skips the
+        per-entity dict/meta assembly of :meth:`_project` (the fused
+        count stage is the hot caller; equality with the full projection
+        is asserted in tests)."""
+        text = text[: self.config.max_document_length]
+        tokens = process_text(text, self.config, self.spell_checker,
+                              self.stopwords, self.norm_cache,
+                              self.tok_cache)
+        raw_ents = self._ner(tokens)
+        linked = self._link(raw_ents, tokens)
+        main = self._resolve_overlaps(linked, text)
+        main.sort(key=lambda e: e.start)
+        cui2group = self.cdb.addl_info.get("cui2group", {})
+        starts = [e.start for e in main]
+        if cui2group:
+            g = cui2group.get
+            cuis = [g(e.cui, e.cui) for e in main]
+        else:
+            cuis = [e.cui for e in main]
+        sources = [text[e.start:e.end] for e in main]
+        return starts, cuis, sources
+
     # -- NER (M6-M7) ------------------------------------------------------
 
     def _ner(self, tokens: List[Token]) -> List[Entity]:

@@ -150,9 +150,42 @@ class AnnotateCountStage(AnnotateStage):
         self.do_extract = do_extract
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from medcat_ray.stages.triples import partial_triple_counts
+        import numpy as np
+        from medcat_ray.stages.triples import partial_counts_from_arrays
         if self.do_extract and "html" in batch.column_names:
             batch = extract_text_batch(batch)
-        ann = super().__call__(batch)
-        return partial_triple_counts(ann, self.window, self.pred,
-                                     self.key_column)
+        texts = batch[self.text_column].to_pylist()
+        ann = self.annotator.annotate_spans
+        # integer-code cuis and surface strings batch-locally as they
+        # stream in; no Arrow ents column, no per-entity dicts
+        cui_code: dict = {}
+        src_code: dict = {}
+        cui_values: list = []
+        lengths = np.empty(len(texts), dtype=np.int64)
+        starts_all: list = []
+        cui_all: list = []
+        src_all: list = []
+        for d, text in enumerate(texts):
+            try:
+                starts, cuis, sources = ann(text) if text else ([], [], [])
+            except Exception:   # poison row → no pairs, not a dead block
+                starts, cuis, sources = [], [], []
+            lengths[d] = len(starts)
+            starts_all.extend(starts)
+            for c in cuis:
+                code = cui_code.get(c)
+                if code is None:
+                    code = cui_code[c] = len(cui_code)
+                    cui_values.append(c)
+                cui_all.append(code)
+            for s in sources:
+                code = src_code.get(s)
+                if code is None:
+                    code = src_code[s] = len(src_code)
+                src_all.append(code)
+        return partial_counts_from_arrays(
+            lengths,
+            np.asarray(starts_all, dtype=np.int64),
+            np.asarray(cui_all, dtype=np.int64), cui_values,
+            np.asarray(src_all, dtype=np.int64),
+            self.window, self.pred)

@@ -83,13 +83,9 @@ def _batch_pair_indices(batch: pa.Table, window: int):
     """Vectorized pair generation for a whole batch.
 
     Returns (I, J, flat) where I/J index into the flattened entity arrays of
-    the batch and ``flat`` is the flattened ents StructArray.  Small docs
-    (n ≤ 128) take a cached-triu mask (fastest when the char window covers
-    most pairs — measured 2× vs the range walk); large docs take the
-    window-bounded path — entities are start-sorted per document, so each
-    subject's objects are the ``searchsorted`` range (i, hi_i], and the
-    ranges materialize with a repeat/cumsum trick: O(pairs in window), not
-    O(n²), with no unbounded cache."""
+    the batch and ``flat`` is the flattened ents StructArray.  The index
+    math lives in :func:`_pair_indices_arrays` (shared with the deep-fused
+    count stage)."""
     ents = batch["ents"]
     if isinstance(ents, pa.ChunkedArray):
         ents = ents.combine_chunks()
@@ -100,6 +96,21 @@ def _batch_pair_indices(batch: pa.Table, window: int):
     # dictionary-encode surface strings once per batch → int compare
     src_idx = pc.dictionary_encode(pc.struct_field(flat, "source_value")) \
         .indices.to_numpy(zero_copy_only=False)
+    I, J = _pair_indices_arrays(lengths, starts, src_idx, window)
+    return I, J, flat
+
+
+def _pair_indices_arrays(lengths: np.ndarray, starts: np.ndarray,
+                         src_idx: np.ndarray, window: int):
+    """Window-bounded ordered-pair indices over per-doc entity runs.
+
+    ``lengths[d]`` entities per document, ``starts``/``src_idx`` flattened
+    and start-sorted within each document.  Small docs (n ≤ 128) take a
+    cached-triu mask (fastest when the char window covers most pairs —
+    measured 2× vs the range walk); large docs take the window-bounded
+    path — each subject's objects are the ``searchsorted`` range
+    (i, hi_i], materialized with a repeat/cumsum trick: O(pairs in
+    window), not O(n²), with no unbounded cache."""
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     out_i: List[np.ndarray] = []
@@ -136,8 +147,36 @@ def _batch_pair_indices(batch: pa.Table, window: int):
             out_j.append(o + tj[mask])
     if not out_i:
         empty = np.array([], dtype=np.int64)
-        return empty, empty, flat
-    return np.concatenate(out_i), np.concatenate(out_j), flat
+        return empty, empty
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def partial_counts_from_arrays(lengths: np.ndarray, starts: np.ndarray,
+                               cui_idx: np.ndarray, cui_values: List[str],
+                               src_idx: np.ndarray, window: int,
+                               pred: str) -> pa.Table:
+    """Deep-fused combiner: partial (subj, pred, obj) counts straight from
+    integer-coded per-doc entity arrays — no Arrow ents column is ever
+    built (the AnnotateCountStage fast path).  Same pair semantics as
+    :func:`partial_triple_counts` (shared :func:`_pair_indices_arrays`
+    core + identical bincount keying)."""
+    I, J = _pair_indices_arrays(lengths, starts, src_idx, window)
+    if len(I) == 0:
+        return pa.table({"subj_cui": pa.array([], type=pa.string()),
+                         "pred": pa.array([], type=pa.string()),
+                         "obj_cui": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    K = len(cui_values)
+    cui_idx = cui_idx.astype(np.int64, copy=False)
+    pair_keys = cui_idx[I] * K + cui_idx[J]
+    uniq, counts = np.unique(pair_keys, return_counts=True)
+    cui_arr = pa.array(cui_values, type=pa.string())
+    return pa.table({
+        "subj_cui": cui_arr.take(pa.array(uniq // K)),
+        "pred": pa.array([pred] * len(uniq), type=pa.string()),
+        "obj_cui": cui_arr.take(pa.array(uniq % K)),
+        "n": pa.array(counts, type=pa.int64()),
+    })
 
 
 def _type_membership(flat, types_needed) -> Dict[str, np.ndarray]:

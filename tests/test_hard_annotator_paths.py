@@ -111,3 +111,51 @@ def test_spell_and_reverse_order_paths():
     ents2 = ann2.annotate("custoner a beta alpha the join")
     srcs2 = {e["source_value"] for e in ents2}
     assert "beta alpha" not in srcs2 and "beta" in srcs2
+
+
+def test_annotate_spans_matches_full_projection():
+    """annotate_spans (the deep-fused count projection) must emit exactly
+    the (start, cui, source_value) stream of the full per-entity dicts."""
+    import pyarrow.parquet as pq
+    from medcat_ray.core.annotator import DocAnnotator
+    from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
+    cdb, vocab = docs_cdb()
+    ann = DocAnnotator(cdb, vocab, DOCS_CONFIG)
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])["text"].to_pylist()[:150]
+    n_ents = 0
+    for t in texts:
+        full = ann.annotate(t)
+        starts, cuis, sources = ann.annotate_spans(t)
+        assert starts == [e["start"] for e in full]
+        assert cuis == [e["cui"] for e in full]
+        assert sources == [e["source_value"] for e in full]
+        n_ents += len(full)
+    assert n_ents > 0
+
+
+def test_deep_fused_counts_equal_arrow_path():
+    """AnnotateCountStage's array path == AnnotateStage → Arrow ents →
+    partial_triple_counts, row for row (after sort)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medcat_ray.pipelines.docs_kg import DOCS_CONFIG, docs_cdb
+    from medcat_ray.stages.annotate import AnnotateStage, AnnotateCountStage
+    from medcat_ray.stages.triples import partial_triple_counts
+    cdb, vocab = docs_cdb()
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    batch = pa.table({"doc_id": t["doc_id"].to_pylist()[:200],
+                      "text": t["text"].to_pylist()[:200]})
+    arrow_stage = AnnotateStage((cdb, vocab), DOCS_CONFIG,
+                                key_column="doc_id")
+    expected = partial_triple_counts(arrow_stage(batch),
+                                     key_column="doc_id").to_pandas() \
+        .sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
+    fused_stage = AnnotateCountStage((cdb, vocab), DOCS_CONFIG,
+                                     key_column="doc_id", do_extract=False)
+    got = fused_stage(batch).to_pandas() \
+        .sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(expected, got)
+    assert got["n"].sum() > 0
