@@ -447,6 +447,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           concurrency=2) \
             .select_columns(["doc_id", "lang_pred"])
 
+    def decontaminate_docs(sf_dir):
+        """Benchmark decontamination (GPT-3/PaLM-style word-8-gram
+        overlap): benchmark = docs with doc_id % 17 == 0; training
+        corpus = the rest, with a known benchmark snippet (the bench
+        doc's first 8 tokens) injected into docs with doc_id % 13 == 5.
+        The benchmark gram-hash set is the broadcast small side
+        (``ray.put`` once, searchsorted probe per batch — no shuffle);
+        the oracle recomputes the exact poly+splitmix64 gram hashes in
+        DuckDB, so overlap counts match bit-for-bit."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+        from medcat_ray.ops.decontam import (benchmark_gram_set,
+                                             flag_contamination)
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+
+        def _bench_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(batch["doc_id"].to_numpy() % 17 == 0))
+
+        bench = ds.map_batches(_bench_only, batch_format="pyarrow")
+        # benchmark snippets are the small side by construction
+        bench_pd = bench.to_pandas()
+        snippets = {int(i): " ".join((t or "").split()[:8])
+                    for i, t in zip(bench_pd["doc_id"], bench_pd["text"])}
+        snip_ref = ray.put((snippets, len(snippets)))
+
+        def _corpus(batch: pa.Table) -> pa.Table:
+            sn, nb = ray.get(snip_ref)
+            ids = batch["doc_id"].to_numpy()
+            keep = np.flatnonzero(ids % 17 != 0)
+            texts = batch["text"].to_pylist()
+            out_ids, out_txt = [], []
+            for j in keep:
+                i, t = int(ids[j]), texts[j]
+                if i % 13 == 5:
+                    t = t + " " + sn[17 * ((i * 7 + 3) % nb)]
+                out_ids.append(i)
+                out_txt.append(t)
+            return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                             "text": pa.array(out_txt, pa.string())})
+
+        corpus = ds.map_batches(_corpus, batch_format="pyarrow")
+        bench_hashes = benchmark_gram_set(bench, n=8)
+        out = flag_contamination(corpus, bench_hashes, n=8) \
+            .select_columns(["doc_id", "n_overlap_grams", "contaminated"]) \
+            .to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_fingerprints(sf_dir):
         import ray.data as rd
         from medcat_ray.ops.textstats import add_fingerprint
@@ -853,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates_planted": simhash_candidates_planted,
         "jaccard_verify_pairs": jaccard_verify_pairs,
         "langid_planted": langid_planted,
+        "decontaminate_docs": decontaminate_docs,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -905,6 +957,24 @@ def _simhash_oracle() -> str:
 def _langid_oracle() -> str:
     from medcat_ray.ops.sql_oracle import langid_oracle_sql
     return langid_oracle_sql() + "\nORDER BY doc_id"
+
+
+def _decontam_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import _WS_CLASS, decontaminate_oracle_sql
+    corpus_sql = f"""SELECT d.doc_id,
+       CASE WHEN d.doc_id % 13 = 5 THEN d.text || ' ' || b.snippet
+            ELSE d.text END AS text
+FROM documents d LEFT JOIN
+ (SELECT doc_id, array_to_string(
+     [w for w in regexp_split_to_array(text, '{_WS_CLASS}+')
+      if w <> ''][1:8], ' ') AS snippet
+  FROM documents WHERE doc_id % 17 = 0) b
+ ON b.doc_id = 17 * ((d.doc_id * 7 + 3) %
+      (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0))
+WHERE d.doc_id % 17 <> 0"""
+    bench_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0"
+    return (decontaminate_oracle_sql(corpus_sql, bench_sql, n=8)
+            + "\nORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1195,6 +1265,10 @@ FROM s
         "langid_planted": """
 SELECT doc_id, lang AS lang_pred FROM documents
 """,
+        # decontamination: DuckDB rebuilds the training corpus (snippet
+        # injection), both gram-hash sets (poly over codepoints +
+        # splitmix64 — decontaminate_oracle_sql) and the overlap counts
+        "decontaminate_docs": _decontam_oracle(),
         # full arithmetic twin of the NATURAL-corpus minhash pipeline:
         # DuckDB recomputes shingle hashes, signatures, band keys, bucket
         # star edges and the component closure (ops/sql_oracle.py)

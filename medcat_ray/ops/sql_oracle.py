@@ -356,3 +356,56 @@ scored AS (
 )
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
 FROM scored WHERE jaccard >= {threshold}"""
+
+
+def _gram_cte(src: str, id_col: str, text_col: str, n: int,
+              toks: str, grams: str, gh: str) -> str:
+    """CTE fragments ``toks``/``grams``/``gh``: distinct word-n-gram
+    hashes per doc — SQL twin of decontam.doc_gram_hashes (lowercase
+    Unicode-whitespace tokens → space-joined n-gram strings, short docs
+    contribute their whole token sequence → codepoint polynomial →
+    splitmix64)."""
+    poly = (f"list_reduce([CAST(unicode(substr(g, i, 1)) AS HUGEINT)"
+            f" for i in generate_series(1, length(g))],"
+            f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    return f"""
+{toks} AS (
+  SELECT {id_col} AS id,
+         [w for w in regexp_split_to_array(lower({text_col}),
+                                           '{_WS_CLASS}+') if w <> ''] AS ws
+  FROM {src}
+),
+{grams} AS (
+  SELECT id, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+  FROM (SELECT id, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+        FROM {toks} WHERE len(ws) >= {n})
+  UNION ALL
+  SELECT id, array_to_string(ws, ' ') AS g
+  FROM {toks} WHERE len(ws) BETWEEN 1 AND {n - 1}
+),
+{gh} AS (
+  SELECT DISTINCT id, gh FROM ({mix64_staged(grams, "id", poly, "gh")})
+)"""
+
+
+def decontaminate_oracle_sql(corpus_sql: str, bench_sql: str,
+                             n: int = 8) -> str:
+    """SQL twin of decontam.flag_contamination over an arbitrary corpus
+    and benchmark SELECT (both must yield (doc_id, text)): per training
+    doc, the count of its distinct gram HASHES that appear among the
+    benchmark's distinct gram hashes — identical arithmetic to the
+    engine, so even hash collisions agree."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+bench AS ({bench_sql}),
+{_gram_cte("corpus", "doc_id", "text", n, "ctoks", "cgrams", "cgh")},
+{_gram_cte("bench", "doc_id", "text", n, "btoks", "bgrams", "bgh")},
+bset AS (SELECT DISTINCT gh FROM bgh),
+overlap AS (
+  SELECT c.id, COUNT(*) AS n_ov
+  FROM cgh c JOIN bset b ON c.gh = b.gh GROUP BY c.id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(o.n_ov, 0) AS BIGINT) AS n_overlap_grams,
+       COALESCE(o.n_ov, 0) > 0 AS contaminated
+FROM corpus t LEFT JOIN overlap o ON t.doc_id = o.id"""
