@@ -447,6 +447,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           concurrency=2) \
             .select_columns(["doc_id", "lang_pred"])
 
+    def doc_c4_clean(sf_dir):
+        """C4-style line-level cleaning over synthesized multi-line web
+        pages (deterministic from doc_id + text, so DuckDB rebuilds the
+        same page bytes): terminal-punctuation / min-words /
+        lorem-ipsum / javascript / brace line filters, kept lines
+        re-joined, doc keep flag at >= 3 kept lines.  The op itself
+        (ops/textclean.py) is all-Arrow: one flattened line stream per
+        batch, vectorized predicates, offset rebuild, binary_join."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.textclean import clean_lines
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+
+        def _pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            out = []
+            for i, t in zip(ids, texts):
+                i = int(i)
+                ls = [f"Doc {i} welcome page.", "menu",
+                      (t or "") + " end of article."]
+                if i % 3 == 0:
+                    ls.append("Please enable JavaScript to view the"
+                              " comments powered by Disqus.")
+                if i % 5 == 0:
+                    ls.append("Lorem ipsum dolor sit amet, consectetur"
+                              " adipiscing elit.")
+                if i % 7 == 0:
+                    ls.append('var cfg = { "ads": true };')
+                if i % 2 == 0:
+                    ls.append("Contact us today for more information!")
+                ls.append("copyright 2026 example site")
+                out.append("\n".join(ls))
+            return pa.table({
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "text": pa.array(out, pa.string())})
+
+        pages = ds.map_batches(_pages, batch_format="pyarrow")
+        out = clean_lines(pages, min_words=3, min_kept_lines=3) \
+            .select_columns(["doc_id", "n_lines", "n_kept_lines",
+                             "clean_text", "c4_keep"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def decontaminate_docs(sf_dir):
         """Benchmark decontamination (GPT-3/PaLM-style word-8-gram
         overlap): benchmark = docs with doc_id % 17 == 0; training
@@ -905,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify_pairs": jaccard_verify_pairs,
         "langid_planted": langid_planted,
         "decontaminate_docs": decontaminate_docs,
+        "doc_c4_clean": doc_c4_clean,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1269,6 +1314,45 @@ SELECT doc_id, lang AS lang_pred FROM documents
         # injection), both gram-hash sets (poly over codepoints +
         # splitmix64 — decontaminate_oracle_sql) and the overlap counts
         "decontaminate_docs": _decontam_oracle(),
+        # C4 line filters reapplied with list_filter over the same
+        # deterministically rebuilt page bytes
+        "doc_c4_clean": """
+WITH pages AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || ' welcome page.' || chr(10) ||
+         'menu' || chr(10) ||
+         text || ' end of article.' || chr(10) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Please enable JavaScript to view the comments powered by Disqus.' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN 'var cfg = { "ads": true };' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'Contact us today for more information!' || chr(10)
+              ELSE '' END ||
+         'copyright 2026 example site' AS page
+  FROM documents),
+lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+flt AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         list_filter(ls, l ->
+           right(rtrim(l, ' ' || chr(9) || chr(13)), 1)
+             IN ('.', '!', '?', '"')
+           AND len([w for w in string_split(l, ' ') if w <> '']) >= 3
+           AND NOT contains(lower(l), 'lorem ipsum')
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(l, '{')) AS kept
+  FROM lines)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(kept) >= 3 AS c4_keep
+FROM flt
+""",
         # full arithmetic twin of the NATURAL-corpus minhash pipeline:
         # DuckDB recomputes shingle hashes, signatures, band keys, bucket
         # star edges and the component closure (ops/sql_oracle.py)
