@@ -447,17 +447,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           concurrency=2) \
             .select_columns(["doc_id", "lang_pred"])
 
-    def doc_c4_clean(sf_dir):
-        """C4-style line-level cleaning over synthesized multi-line web
-        pages (deterministic from doc_id + text, so DuckDB rebuilds the
-        same page bytes): terminal-punctuation / min-words /
-        lorem-ipsum / javascript / brace line filters, kept lines
-        re-joined, doc keep flag at >= 3 kept lines.  The op itself
-        (ops/textclean.py) is all-Arrow: one flattened line stream per
-        batch, vectorized predicates, offset rebuild, binary_join."""
+    def _synth_c4_pages(sf_dir):
+        """Multi-line web pages, deterministic from doc_id + text (so a
+        DuckDB oracle can rebuild identical bytes — _C4_PAGES_CTE):
+        per-doc header/menu/article lines plus boilerplate lines gated
+        on doc_id residues, which also plants genuine cross-document
+        repeated 3-line spans for span_dedup."""
         import pyarrow as pa
         import ray.data as rd
-        from medcat_ray.ops.textclean import clean_lines
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
 
@@ -485,10 +482,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "doc_id": pa.array([int(x) for x in ids], pa.int64()),
                 "text": pa.array(out, pa.string())})
 
-        pages = ds.map_batches(_pages, batch_format="pyarrow")
-        out = clean_lines(pages, min_words=3, min_kept_lines=3) \
+        return ds.map_batches(_pages, batch_format="pyarrow")
+
+    def doc_c4_clean(sf_dir):
+        """C4-style line-level cleaning over synthesized multi-line web
+        pages (deterministic from doc_id + text, so DuckDB rebuilds the
+        same page bytes): terminal-punctuation / min-words /
+        lorem-ipsum / javascript / brace line filters, kept lines
+        re-joined, doc keep flag at >= 3 kept lines.  The op itself
+        (ops/textclean.py) is all-Arrow: one flattened line stream per
+        batch, vectorized predicates, offset rebuild, binary_join."""
+        from medcat_ray.ops.textclean import clean_lines
+        out = clean_lines(_synth_c4_pages(sf_dir),
+                          min_words=3, min_kept_lines=3) \
             .select_columns(["doc_id", "n_lines", "n_kept_lines",
                              "clean_text", "c4_keep"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def span_dedup_docs(sf_dir):
+        """C4 cross-document span dedup over the same synthesized pages
+        (boilerplate line combinations repeat across doc_id residue
+        classes, planting real duplicated 3-line spans): every
+        occurrence of a repeated span except its keeper — globally
+        smallest (doc, position) — loses those lines.  Native
+        groupby(Min, Count) over span hashes, duplicated hashes only
+        leave the aggregate; the oracle recomputes the span hashes and
+        keeper arithmetic in DuckDB."""
+        from medcat_ray.ops.textclean import span_dedup
+        out = span_dedup(_synth_c4_pages(sf_dir), span=3) \
+            .select_columns(["doc_id", "n_removed_lines", "clean_text"]) \
+            .to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
     def decontaminate_docs(sf_dir):
@@ -950,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_planted": langid_planted,
         "decontaminate_docs": decontaminate_docs,
         "doc_c4_clean": doc_c4_clean,
+        "span_dedup_docs": span_dedup_docs,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1002,6 +1026,73 @@ def _simhash_oracle() -> str:
 def _langid_oracle() -> str:
     from medcat_ray.ops.sql_oracle import langid_oracle_sql
     return langid_oracle_sql() + "\nORDER BY doc_id"
+
+
+# deterministic multi-line page bytes — SQL twin of queries()._synth_c4_pages
+_C4_PAGES_SQL = """
+  SELECT doc_id,
+         'Doc ' || doc_id || ' welcome page.' || chr(10) ||
+         'menu' || chr(10) ||
+         text || ' end of article.' || chr(10) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Please enable JavaScript to view the comments powered by Disqus.' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN 'var cfg = { "ads": true };' || chr(10)
+              ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'Contact us today for more information!' || chr(10)
+              ELSE '' END ||
+         'copyright 2026 example site' AS page
+  FROM documents"""
+
+
+def _span_dedup_oracle() -> str:
+    """SQL twin of textclean.span_dedup over the synthesized pages:
+    3-line span strings → poly+splitmix64 hashes (identical arithmetic,
+    so collisions agree) → per-hash keeper = MIN(doc_id·2^20 + pos) →
+    union of non-keeper span lines removed → lines reassembled with
+    string_agg ORDER BY position."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, mix64_staged
+    poly = (f"list_reduce([CAST(unicode(substr(sp, i, 1)) AS HUGEINT)"
+            f" for i in generate_series(1, length(sp))],"
+            f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    maxpos = 1 << 20
+    return f"""
+WITH pages AS ({_C4_PAGES_SQL}),
+lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ls[i:i+2], chr(10)) AS sp
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i
+        FROM lines WHERE len(ls) >= 3)
+),
+sh AS ({mix64_staged("spans", "doc_id, pos", poly, "sh")}),
+agg AS (SELECT sh, MIN(doc_id * {maxpos} + pos) AS keeper,
+               COUNT(*) AS n
+        FROM sh GROUP BY sh),
+bad AS (SELECT s.doc_id, s.pos FROM sh s JOIN agg a ON s.sh = a.sh
+        WHERE a.n > 1 AND s.doc_id * {maxpos} + s.pos <> a.keeper),
+rem AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 3)) AS li
+        FROM bad),
+lidx AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS j, ls
+         FROM lines),
+kept AS (SELECT p.doc_id, p.j, p.ls[p.j] AS line
+         FROM lidx p LEFT JOIN rem r
+           ON r.doc_id = p.doc_id AND r.li = p.j - 1
+         WHERE r.doc_id IS NULL),
+agg_out AS (SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY j) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(len(l.ls) - COALESCE(o.n_kept, 0) AS BIGINT)
+           AS n_removed_lines,
+       COALESCE(o.clean_text, '') AS clean_text
+FROM lines l LEFT JOIN agg_out o USING (doc_id)
+ORDER BY doc_id"""
 
 
 def _decontam_oracle() -> str:
@@ -1314,28 +1405,11 @@ SELECT doc_id, lang AS lang_pred FROM documents
         # injection), both gram-hash sets (poly over codepoints +
         # splitmix64 — decontaminate_oracle_sql) and the overlap counts
         "decontaminate_docs": _decontam_oracle(),
+        # span hashes + keeper arithmetic recomputed in DuckDB
+        "span_dedup_docs": _span_dedup_oracle(),
         # C4 line filters reapplied with list_filter over the same
         # deterministically rebuilt page bytes
-        "doc_c4_clean": """
-WITH pages AS (
-  SELECT doc_id,
-         'Doc ' || doc_id || ' welcome page.' || chr(10) ||
-         'menu' || chr(10) ||
-         text || ' end of article.' || chr(10) ||
-         CASE WHEN doc_id % 3 = 0
-              THEN 'Please enable JavaScript to view the comments powered by Disqus.' || chr(10)
-              ELSE '' END ||
-         CASE WHEN doc_id % 5 = 0
-              THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.' || chr(10)
-              ELSE '' END ||
-         CASE WHEN doc_id % 7 = 0
-              THEN 'var cfg = { "ads": true };' || chr(10)
-              ELSE '' END ||
-         CASE WHEN doc_id % 2 = 0
-              THEN 'Contact us today for more information!' || chr(10)
-              ELSE '' END ||
-         'copyright 2026 example site' AS page
-  FROM documents),
+        "doc_c4_clean": "WITH pages AS (" + _C4_PAGES_SQL + """),
 lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
 flt AS (
   SELECT doc_id, len(ls) AS n_lines,

@@ -59,3 +59,56 @@ def test_trailing_whitespace_rtrim():
                min_kept_lines=1)
     assert out.iloc[0].n_kept_lines == 2
     assert bool(out.iloc[0].c4_keep)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup
+# ---------------------------------------------------------------------------
+
+_SPAN_DOCS = [
+    (0, "A\nB\nC\nD\nunique0"),    # keeper of spans ABC and BCD
+    (1, "x1\nA\nB\nC\nD\ny1"),     # dup ABC + BCD -> lines 1..4 removed
+    (2, "A\nB\nC\nzz2"),           # dup ABC -> lines 0..2 removed
+    (3, "totally\nunrelated\ndoc"),
+    (4, "short"),                   # fewer than span lines: untouched
+]
+
+
+def _span_ds():
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in _SPAN_DOCS], pa.int64()),
+        "text": pa.array([t for _, t in _SPAN_DOCS])}))
+
+
+def test_span_dedup_semantics(ray_session):
+    from medcat_ray.ops.textclean import span_dedup
+    out = span_dedup(_span_ds(), method="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.n_removed_lines.tolist() == [0, 4, 3, 0, 0]
+    assert out.clean_text.tolist()[:3] == [
+        "A\nB\nC\nD\nunique0", "x1\ny1", "zz2"]
+
+
+def test_span_dedup_join_equals_broadcast(ray_session):
+    from medcat_ray.ops.textclean import span_dedup
+    cols = ["doc_id", "n_removed_lines", "clean_text"]
+    a = span_dedup(_span_ds(), method="broadcast").to_pandas()[cols] \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = span_dedup(_span_ds(), method="join").to_pandas()[cols] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_span_dedup_no_duplicates(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from medcat_ray.ops.textclean import span_dedup
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a\nb\nc\nd", "e\nf\ng\nh"])}))
+    for method in ("broadcast", "join"):
+        out = span_dedup(ds, method=method).to_pandas()
+        assert out.n_removed_lines.tolist() == [0, 0]
+        assert out.clean_text.tolist() == ["a\nb\nc\nd", "e\nf\ng\nh"]
