@@ -514,6 +514,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_lm_ppl(sf_dir):
+        """CCNet-style LM quality scoring: train an add-α bigram LM on
+        the corpus (two native groupby-Sum shuffles over batch-level
+        pre-aggregated counts), broadcast the packed model, score every
+        doc's log-likelihood and per-bigram perplexity.  The oracle
+        recomputes the counts and the smoothed log-probability sum in
+        DuckDB (floats, rtol compare)."""
+        import ray.data as rd
+        from medcat_ray.ops.lm import add_lm_score, train_bigram_lm
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        lm = train_bigram_lm(ds, alpha=0.1)
+        out = add_lm_score(ds, lm) \
+            .select_columns(["doc_id", "log_prob", "n_bigrams", "ppl"]) \
+            .to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def decontaminate_docs(sf_dir):
         """Benchmark decontamination (GPT-3/PaLM-style word-8-gram
         overlap): benchmark = docs with doc_id % 17 == 0; training
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         "doc_c4_clean": doc_c4_clean,
         "span_dedup_docs": span_dedup_docs,
+        "doc_lm_ppl": doc_lm_ppl,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1114,6 +1132,7 @@ WHERE d.doc_id % 17 <> 0"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from medcat_ray.ops.sql_oracle import _WS_CLASS
     from medcat_ray.pipelines.docs_kg import (TOKEN_CTE, concept_values_sql,
                                               entities_oracle_sql,
                                               mentions_oracle_sql,
@@ -1407,6 +1426,42 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "decontaminate_docs": _decontam_oracle(),
         # span hashes + keeper arithmetic recomputed in DuckDB
         "span_dedup_docs": _span_dedup_oracle(),
+        # bigram counts + add-alpha smoothed log-likelihood recomputed
+        "doc_lm_ppl": f"""
+WITH toks AS (
+  SELECT doc_id,
+         [w for w in regexp_split_to_array(lower(text),
+                                           '{_WS_CLASS}+')
+          if w <> ''] AS ws
+  FROM documents),
+uni AS (SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+vsize AS (SELECT COUNT(*) AS v FROM uni),
+big AS (SELECT w1, w2, COUNT(*) AS c
+        FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                    FROM toks))
+        GROUP BY w1, w2),
+db AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+             FROM toks)),
+scored AS (
+  SELECT d.doc_id,
+         SUM(ln((b.c + 0.1) / (u.c + 0.1 * (v + 1)))) AS lp,
+         COUNT(*) AS nb
+  FROM db d
+  JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+  JOIN uni u ON u.w = d.w1
+  CROSS JOIN vsize
+  GROUP BY d.doc_id)
+SELECT t.doc_id,
+       ROUND(COALESCE(s.lp, 0.0), 6) AS log_prob,
+       CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+       ROUND(CASE WHEN s.nb IS NULL THEN 1.0
+                  ELSE exp(-s.lp / s.nb) END, 6) AS ppl
+FROM toks t LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+""",
         # C4 line filters reapplied with list_filter over the same
         # deterministically rebuilt page bytes
         "doc_c4_clean": "WITH pages AS (" + _C4_PAGES_SQL + """),
