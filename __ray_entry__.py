@@ -531,6 +531,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_mixture_sample(sf_dir):
+        """Deterministic data-mixing sample: per-source keep rates
+        (srcK -> (K mod 5)·0.25, covering 0 / fractional / 1.0) decided
+        by pure splitmix64 hash-threshold arithmetic — stateless, no
+        RNG, exactly recomputed by the DuckDB oracle from the same
+        integer thresholds."""
+        import ray.data as rd
+        from medcat_ray.ops.sample import stratified_sample
+        rates = {f"src{k}": (k % 5) * 0.25 for k in range(20)}
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source"])
+        out = stratified_sample(ds, rates, seed=1).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def decontaminate_docs(sf_dir):
         """Benchmark decontamination (GPT-3/PaLM-style word-8-gram
         overlap): benchmark = docs with doc_id % 17 == 0; training
@@ -992,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_clean": doc_c4_clean,
         "span_dedup_docs": span_dedup_docs,
         "doc_lm_ppl": doc_lm_ppl,
+        "doc_mixture_sample": doc_mixture_sample,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1111,6 +1126,12 @@ SELECT l.doc_id,
        COALESCE(o.clean_text, '') AS clean_text
 FROM lines l LEFT JOIN agg_out o USING (doc_id)
 ORDER BY doc_id"""
+
+
+def _mixture_oracle() -> str:
+    from medcat_ray.ops.sample import stratified_sample_oracle_sql
+    rates = {f"src{k}": (k % 5) * 0.25 for k in range(20)}
+    return stratified_sample_oracle_sql(rates, seed=1) + "\nORDER BY doc_id"
 
 
 def _decontam_oracle() -> str:
@@ -1426,6 +1447,8 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "decontaminate_docs": _decontam_oracle(),
         # span hashes + keeper arithmetic recomputed in DuckDB
         "span_dedup_docs": _span_dedup_oracle(),
+        # identical mix64 hash-threshold arithmetic + integer thresholds
+        "doc_mixture_sample": _mixture_oracle(),
         # bigram counts + add-alpha smoothed log-likelihood recomputed
         "doc_lm_ppl": f"""
 WITH toks AS (

@@ -1,0 +1,88 @@
+"""Deterministic mixture sampling: keep each row with a per-source
+probability (the "data mixing weights" step of LLM corpus construction —
+GPT-3/Pile-style source reweighting), decided by pure hash arithmetic so
+the sample is reproducible, shuffle-free, and exactly recomputable by a
+SQL oracle.
+
+A row with id ``i`` and source ``s`` survives iff
+``mix64((i·P + seed) mod 2^64) < round(rate(s)·2^64)`` — i.e. a
+splitmix64-finalized uniform draw in [0, 2^64) compared against the
+source's integer threshold.  No RNG state, no coordination: every worker
+decides locally, so the operator is a single stateless ``map_batches``
+at any scale.
+
+Reference analogue: none in MedCAT (LLM-training-data operator); the
+hash-threshold technique matches ops/split.py's hash split.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from medcat_ray.ops.hashing import _POLY_BASE, _mix64
+
+_TWO64 = 1 << 64
+
+
+def rate_thresholds(rates: Dict[str, float]) -> Dict[str, int]:
+    """Integer keep-thresholds from per-source rates: round(rate·2^64),
+    clamped to [0, 2^64].  The SQL oracle must be generated from THESE
+    integers (see ``stratified_sample_oracle_sql``) so both sides compare
+    against identical constants."""
+    out = {}
+    for k, r in rates.items():
+        t = int(round(r * _TWO64))
+        out[k] = min(max(t, 0), _TWO64)
+    return out
+
+
+def stratified_sample(ds: rd.Dataset, rates: Dict[str, float],
+                      key_col: str = "source", id_col: str = "doc_id",
+                      seed: int = 1) -> rd.Dataset:
+    """Filter ``ds`` to a deterministic per-source sample.  Sources
+    missing from ``rates`` are dropped (rate 0)."""
+    thr = rate_thresholds(rates)
+    thr_ref = ray.put(thr)
+    seed_u = np.uint64(seed)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix64(ids * _POLY_BASE + seed_u)
+        keys = batch[key_col].to_pylist()
+        lo = np.fromiter((min(t.get(k, 0), _TWO64 - 1) for k in keys),
+                         dtype=np.uint64, count=len(keys))
+        full = np.fromiter((t.get(k, 0) >= _TWO64 for k in keys),
+                           dtype=bool, count=len(keys))
+        return batch.filter(pa.array(full | (h < lo)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def stratified_sample_oracle_sql(rates: Dict[str, float],
+                                 table: str = "documents",
+                                 key_col: str = "source",
+                                 id_col: str = "doc_id",
+                                 seed: int = 1) -> str:
+    """DuckDB twin: identical mix64 arithmetic and identical integer
+    thresholds; emits the surviving (id, key) rows."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, mix64_staged
+    thr = rate_thresholds(rates)
+    vals = ", ".join(f"('{k}', {v}::HUGEINT)" for k, v in
+                     sorted(thr.items()))
+    h = mix64_staged(table, f"{id_col}, {key_col}",
+                     f"(CAST({id_col} AS HUGEINT) * {_P} + {seed})"
+                     f" % {_M64}", "hv")
+    return f"""
+WITH h AS ({h}),
+rates({key_col}, thr) AS (VALUES {vals})
+SELECT h.{id_col}, h.{key_col}
+FROM h JOIN rates r USING ({key_col})
+WHERE h.hv < r.thr"""

@@ -1,0 +1,51 @@
+"""Unit tests for ops/sample.py (deterministic mixture sampling)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from medcat_ray.ops.sample import rate_thresholds, stratified_sample
+
+
+def _ds(n=2000, sources=("a", "b", "c")):
+    ids = np.arange(n, dtype=np.int64)
+    src = [sources[i % len(sources)] for i in range(n)]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(src, pa.string())}))
+
+
+def test_rate_edges_and_missing_source(ray_session):
+    out = stratified_sample(
+        _ds(300), {"a": 1.0, "b": 0.0}).to_pandas()
+    # rate 1.0 keeps every 'a' row, rate 0 and missing 'c' keep none
+    assert (out["source"] == "a").all()
+    assert len(out) == 100
+
+
+def test_deterministic_and_proportional(ray_session):
+    rates = {"a": 0.5, "b": 0.25, "c": 0.75}
+    a = stratified_sample(_ds(), rates).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(_ds(), rates).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    frac = a.groupby("source").size() / (2000 / 3)
+    assert abs(frac["a"] - 0.5) < 0.08
+    assert abs(frac["b"] - 0.25) < 0.08
+    assert abs(frac["c"] - 0.75) < 0.08
+
+
+def test_seed_changes_sample(ray_session):
+    rates = {"a": 0.5, "b": 0.5, "c": 0.5}
+    a = stratified_sample(_ds(), rates, seed=1).to_pandas()
+    b = stratified_sample(_ds(), rates, seed=2).to_pandas()
+    assert set(a.doc_id) != set(b.doc_id)
+
+
+def test_thresholds_exact():
+    t = rate_thresholds({"x": 0.25, "y": 1.0, "z": 0.0, "w": 2.0})
+    assert t["x"] == 1 << 62
+    assert t["y"] == 1 << 64
+    assert t["z"] == 0
+    assert t["w"] == 1 << 64   # clamped
