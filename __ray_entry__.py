@@ -545,6 +545,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = stratified_sample(ds, rates, seed=1).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def url_dedup_docs(sf_dir):
+        """URL canonicalization + URL-keyed dedup: synthesized URLs
+        (deterministic from doc_id) plant case/port/fragment/tracking
+        variants that collide after canonicalization; exact_dedup keeps
+        the min doc_id per canonical URL.  The oracle recomputes the
+        identical regex-pass canonicalization in DuckDB/RE2
+        (differential-tested in tests/test_urls.py) and the window-min
+        keeper."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.urls import url_dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+
+        def _urls(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            out = []
+            for d in ids:
+                d = int(d)
+                k, r = d // 4, d % 4
+                h = k % 7
+                if r == 0:
+                    u = (f"https://www.site{h}.example:443/a/{k}"
+                         f"?utm_source=feed&id={k}")
+                elif r == 1:
+                    u = (f"https://WWW.Site{h}.Example/a/{k}"
+                         f"?id={k}&utm_campaign=x#frag")
+                elif r == 2:
+                    u = f"http://site{h}.example:80/b/{k}"
+                else:
+                    u = f"http://site{h}.example/c/{k}/"
+                out.append(u)
+            return pa.table({
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "url": pa.array(out, pa.string())})
+
+        urls = ds.map_batches(_urls, batch_format="pyarrow")
+        out = url_dedup(urls).select_columns(
+            ["doc_id", "canonical_url"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def decontaminate_docs(sf_dir):
         """Benchmark decontamination (GPT-3/PaLM-style word-8-gram
         overlap): benchmark = docs with doc_id % 17 == 0; training
@@ -1007,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_docs": span_dedup_docs,
         "doc_lm_ppl": doc_lm_ppl,
         "doc_mixture_sample": doc_mixture_sample,
+        "url_dedup_docs": url_dedup_docs,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1125,6 +1167,32 @@ SELECT l.doc_id,
            AS n_removed_lines,
        COALESCE(o.clean_text, '') AS clean_text
 FROM lines l LEFT JOIN agg_out o USING (doc_id)
+ORDER BY doc_id"""
+
+
+def _url_dedup_oracle() -> str:
+    from medcat_ray.ops.urls import canonical_url_sql
+    case = """CASE doc_id % 4
+ WHEN 0 THEN 'https://www.site' || ((doc_id // 4) % 7)
+      || '.example:443/a/' || (doc_id // 4)
+      || '?utm_source=feed&id=' || (doc_id // 4)
+ WHEN 1 THEN 'https://WWW.Site' || ((doc_id // 4) % 7)
+      || '.Example/a/' || (doc_id // 4)
+      || '?id=' || (doc_id // 4) || '&utm_campaign=x#frag'
+ WHEN 2 THEN 'http://site' || ((doc_id // 4) % 7)
+      || '.example:80/b/' || (doc_id // 4)
+ ELSE 'http://site' || ((doc_id // 4) % 7)
+      || '.example/c/' || (doc_id // 4) || '/'
+END"""
+    return f"""
+WITH urls AS (SELECT doc_id, {case} AS u FROM documents),
+canon AS (SELECT doc_id, {canonical_url_sql('u')} AS canonical_url
+          FROM urls)
+SELECT doc_id, canonical_url FROM (
+  SELECT doc_id, canonical_url,
+         MIN(doc_id) OVER (PARTITION BY canonical_url) AS kid
+  FROM canon)
+WHERE doc_id = kid
 ORDER BY doc_id"""
 
 
@@ -1449,6 +1517,8 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "span_dedup_docs": _span_dedup_oracle(),
         # identical mix64 hash-threshold arithmetic + integer thresholds
         "doc_mixture_sample": _mixture_oracle(),
+        # regex-pass canonicalization twin + window-min keeper
+        "url_dedup_docs": _url_dedup_oracle(),
         # bigram counts + add-alpha smoothed log-likelihood recomputed
         "doc_lm_ppl": f"""
 WITH toks AS (
