@@ -545,6 +545,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = stratified_sample(ds, rates, seed=1).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_top_keywords(sf_dir):
+        """TF-IDF keyword extraction: corpus DF table (distinct-term
+        combiner → groupby-Sum, vocabulary-sized) broadcast once, per-doc
+        top-5 under the INTEGER-deterministic (tf desc, df asc, term
+        asc) ranking; the float tfidf column is reported but never used
+        for selection (libm-portability — see ops/keywords.py)."""
+        import ray.data as rd
+        from medcat_ray.ops.keywords import doc_frequencies, top_keywords
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        n_docs = ds.count()
+        terms, dfs = doc_frequencies(ds)
+        out = top_keywords(ds, n_docs, terms, dfs, k=5).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
     def url_dedup_docs(sf_dir):
         """URL canonicalization + URL-keyed dedup: synthesized URLs
         (deterministic from doc_id) plant case/port/fragment/tracking
@@ -1049,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_ppl": doc_lm_ppl,
         "doc_mixture_sample": doc_mixture_sample,
         "url_dedup_docs": url_dedup_docs,
+        "doc_top_keywords": doc_top_keywords,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1519,6 +1535,31 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "doc_mixture_sample": _mixture_oracle(),
         # regex-pass canonicalization twin + window-min keeper
         "url_dedup_docs": _url_dedup_oracle(),
+        # tf/df counts + integer-deterministic ranking recomputed in SQL;
+        # tfidf reported as a float column (rtol-compared)
+        "doc_top_keywords": f"""
+WITH toks AS (
+  SELECT doc_id,
+         [w for w in regexp_split_to_array(lower(text),
+                                           '{_WS_CLASS}+')
+          if w <> ''] AS ws
+  FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+       GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+n AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT doc_id, w AS term, tf, df,
+         tf * ln(n * 1.0 / df) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, w ASC) AS rank
+  FROM tf JOIN df USING (w) CROSS JOIN n)
+SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+""",
         # bigram counts + add-alpha smoothed log-likelihood recomputed
         "doc_lm_ppl": f"""
 WITH toks AS (
