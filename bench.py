@@ -193,6 +193,35 @@ def run_bench() -> dict:
     timed("events_sliding", lambda: relational.events_sliding(SF_DIR))
     timed("user_sessions", lambda: relational.user_sessions(SF_DIR))
 
+    def _docs():
+        return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def _decontam():
+        from medcat_ray.ops.decontam import (benchmark_gram_set,
+                                             flag_contamination)
+        import pyarrow as pa
+
+        def bench_only(b):
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 17 == 0))
+        bench_set = benchmark_gram_set(
+            _docs().map_batches(bench_only, batch_format="pyarrow"))
+        flag_contamination(_docs(), bench_set).count()
+    timed("decontam", _decontam)
+
+    def _lm():
+        from medcat_ray.ops.lm import add_lm_score, train_bigram_lm
+        lm = train_bigram_lm(_docs())
+        add_lm_score(_docs(), lm).count()
+    timed("lm_ppl", _lm)
+
+    def _kw():
+        from medcat_ray.ops.keywords import doc_frequencies, top_keywords
+        ds = _docs()
+        terms, dfs = doc_frequencies(ds)
+        top_keywords(ds, ds.count(), terms, dfs).count()
+    timed("top_keywords", _kw)
+
     def _ivf():
         from medcat_ray.ops.similarity import knn_ivf
         emb_path = os.path.join(SF_DIR, "embeddings.parquet")
