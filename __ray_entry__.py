@@ -560,6 +560,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = top_keywords(ds, n_docs, terms, dfs, k=5).to_pandas()
         return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
+    def events_asof_orders(sf_dir):
+        """Distributed backward as-of join (ops/asof.py): every event
+        matched to the user's latest order at-or-before the event time;
+        users with o_custkey % 3 == 0 are excluded from the right side
+        so null matches are exercised.  Right (key, time) pairs are
+        pre-aggregated by a native multi-key groupby-Sum.  Oracle:
+        DuckDB's native ASOF LEFT JOIN."""
+        import pandas as pd
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+        from medcat_ray.ops.asof import asof_join
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def _prune(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["o_custkey"] % 3 != 0]
+
+        right = orders.map_batches(_prune, batch_format="pandas") \
+            .groupby(["o_custkey", "o_orderdate"]) \
+            .aggregate(Sum("o_totalprice", alias_name="total"))
+
+        def _norm(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["o_custkey"],
+                "order_ts": df["o_orderdate"].astype("datetime64[us]"),
+                "total": df["total"]})
+
+        right = right.map_batches(_norm, batch_format="pandas")
+        out = asof_join(ev, right, key="user_id", left_time="ts",
+                        right_time="order_ts",
+                        right_vals=["total"]).to_pandas()
+        out = out[["event_id", "user_id", "asof_time", "asof_total"]]
+        # marker rows (no left payload) float-ify event_id in mixed
+        # blocks; resolved lefts are always integral — cast back
+        out["event_id"] = out["event_id"].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
     def url_dedup_docs(sf_dir):
         """URL canonicalization + URL-keyed dedup: synthesized URLs
         (deterministic from doc_id) plant case/port/fragment/tracking
@@ -1065,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": doc_mixture_sample,
         "url_dedup_docs": url_dedup_docs,
         "doc_top_keywords": doc_top_keywords,
+        "events_asof_orders": events_asof_orders,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1535,6 +1576,17 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "doc_mixture_sample": _mixture_oracle(),
         # regex-pass canonicalization twin + window-min keeper
         "url_dedup_docs": _url_dedup_oracle(),
+        # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
+        # right side
+        "events_asof_orders": """
+WITH r AS (SELECT o_custkey AS k, o_orderdate AS t,
+                  SUM(o_totalprice) AS v
+           FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, r.t AS asof_time,
+       ROUND(r.v, 4) AS asof_total
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.t
+ORDER BY event_id
+""",
         # tf/df counts + integer-deterministic ranking recomputed in SQL;
         # tfidf reported as a float column (rtol-compared)
         "doc_top_keywords": f"""

@@ -1,0 +1,144 @@
+"""Distributed as-of join (backward): for every left row, the right row
+with the largest ``right_time <= left_time`` and the same key — the
+temporal-join primitive Ray Data lacks natively (pandas ``merge_asof`` /
+DuckDB ``ASOF JOIN`` semantics, equal times match).
+
+Shape (the ``user_sessions`` pattern — no per-key ``map_groups``):
+
+1. Union the two sides into one tagged stream (right rows sort BEFORE
+   left rows at equal (key, time) so equal-time matches resolve).
+2. One global ``sort([key, time, side])`` — the only wide step.
+3. Per sorted block, ONE vectorized groupby-ffill pass: left rows
+   preceded by a right row of their key inside the block are DONE;
+   boundary-split lefts stay pending, and each block keeps only its
+   LAST right row per key (the only one later blocks can need).
+4. Recurse on the pending remainder (markers + unresolved lefts) —
+   geometrically smaller (∝ keys-per-block-boundary, not rows) — and
+   finish with an ALWAYS-exact single-block pass over the residual
+   (O(keys + never-matching lefts) after the shrink passes; raise
+   ``max_passes`` to shrink further before the gather if that bound
+   ever matters).
+
+Left rows with no preceding right row anywhere get null match columns
+(left-outer semantics).  Right (key, time) pairs must be unique — the
+caller pre-aggregates (as any asof engine requires for determinism).
+
+Reference analogue: none in MedCAT (relational/temporal operator named
+by the engine brief).  Oracle: DuckDB ``ASOF LEFT JOIN`` — see the
+``events_asof_orders`` driver query.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _mk_pass(key: str, rcols: List[str], finalize: bool,
+             sort_in_block: bool):
+    def _pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(__done=pd.Series([], dtype=bool))
+        if sort_in_block:
+            df = df.sort_values([key, "__t", "__side"], kind="mergesort")
+        df = df.reset_index(drop=True)
+        is_r = df["__side"].to_numpy() == 0
+        fill = ["__rt"] + rcols
+        filled = df.groupby(key, sort=False)[fill].ffill()
+        lefts = ~is_r
+        resolved = lefts & filled["__rt"].notna().to_numpy()
+        parts = []
+        res = df[resolved].copy()
+        res[fill] = filled[resolved]
+        res["__done"] = True
+        parts.append(res)
+        unres = df[lefts & ~resolved].copy()
+        unres["__done"] = bool(finalize)
+        parts.append(unres)
+        if not finalize:
+            mk = df[is_r].groupby(key, sort=False).tail(1).copy()
+            mk["__done"] = False
+            parts.append(mk)
+        return pd.concat(parts, ignore_index=True)
+    return _pass
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
+              left_time: str, right_time: str,
+              right_vals: Optional[List[str]] = None,
+              max_passes: int = 3,
+              single_block_rows: int = 500_000) -> rd.Dataset:
+    """Backward as-of join of ``left`` against ``right`` on ``key``.
+
+    Returns the left rows plus ``asof_time`` (the matched right time,
+    null if none) and each of ``right_vals`` as ``asof_<col>``."""
+    right_vals = list(right_vals or [])
+    rcols = [f"asof_{c}" for c in right_vals]
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__t"] = df[left_time]
+        df["__side"] = np.int8(1)
+        df["__rt"] = pd.Series(pd.NaT, index=df.index,
+                               dtype="datetime64[us]")
+        for c in rcols:
+            df[c] = np.nan
+        return df
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key: df[key], "__t": df[right_time],
+                            "__side": np.int8(0),
+                            "__rt": df[right_time]})
+        for c, src in zip(rcols, right_vals):
+            out[c] = df[src].astype(np.float64)
+        return out
+
+    l = left.map_batches(_tag_left, batch_format="pandas")
+    r = right.map_batches(_tag_right, batch_format="pandas")
+    cur = l.union(r)
+
+    done_parts: List[rd.Dataset] = []
+    for it in range(max_passes):
+        cur = cur.materialize()
+        n = cur.count()
+        if n == 0:
+            break
+        # final pass is ALWAYS exact: the residual (boundary-split lefts
+        # + one marker per key per prior block + never-matching lefts)
+        # gathers into one block — O(keys + unmatched), far below corpus
+        # size after the shrink passes; raise max_passes if that bound
+        # is ever the bottleneck
+        finalize = n <= single_block_rows or (it == max_passes - 1)
+        if finalize:
+            staged = cur.repartition(1)
+        else:
+            staged = cur.sort([key, "__t", "__side"])
+        out = staged.map_batches(
+            _mk_pass(key, rcols, finalize, sort_in_block=finalize),
+            batch_format="pandas", batch_size=None).materialize()
+
+        def _take_done(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["__done"] & (df["__side"] == 1)]
+
+        def _take_pending(df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["__done"]]
+
+        done_parts.append(
+            out.map_batches(_take_done, batch_format="pandas"))
+        if finalize:
+            break
+        cur = out.map_batches(_take_pending, batch_format="pandas")
+
+    result = done_parts[0]
+    for d in done_parts[1:]:
+        result = result.union(d)
+
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=["__t", "__side", "__done"])
+        return out.rename(columns={"__rt": "asof_time"})
+
+    return result.map_batches(_project, batch_format="pandas")
