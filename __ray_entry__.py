@@ -600,6 +600,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["event_id"] = out["event_id"].astype("int64")
         return out.sort_values("event_id").reset_index(drop=True)
 
+    def events_range_pairs(sf_dir):
+        """Distributed range (band) join: pairs of a user's events
+        within ±1 hour of each other (ops/asof.py:range_join — band-
+        width bucketing, left replicated to ≤2 buckets, one native hash
+        join on (key, bucket), exact inequality per batch).  Oracle:
+        plain SQL inequality self-join."""
+        import pandas as pd
+        import ray.data as rd
+        from medcat_ray.ops.asof import range_join
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        pairs = range_join(ev, ev, key="user_id", left_time="ts",
+                           right_time="ts",
+                           lower=pd.Timedelta("-1h"),
+                           upper=pd.Timedelta("1h"))
+
+        def _ordered(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_id"] < df["r_event_id"]]
+            return pd.DataFrame({"id_a": df["event_id"],
+                                 "id_b": df["r_event_id"],
+                                 "user_id": df["user_id"]})
+
+        out = pairs.map_batches(_ordered, batch_format="pandas") \
+            .to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def url_dedup_docs(sf_dir):
         """URL canonicalization + URL-keyed dedup: synthesized URLs
         (deterministic from doc_id) plant case/port/fragment/tracking
@@ -1106,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_docs": url_dedup_docs,
         "doc_top_keywords": doc_top_keywords,
         "events_asof_orders": events_asof_orders,
+        "events_range_pairs": events_range_pairs,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1586,6 +1613,14 @@ SELECT e.event_id, e.user_id, r.t AS asof_time,
        ROUND(r.v, 4) AS asof_total
 FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.t
 ORDER BY event_id
+""",
+        # plain SQL inequality self-join
+        "events_range_pairs": """
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+ORDER BY id_a, id_b
 """,
         # tf/df counts + integer-deterministic ranking recomputed in SQL;
         # tfidf reported as a float column (rtol-compared)

@@ -142,3 +142,59 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
         return out.rename(columns={"__rt": "asof_time"})
 
     return result.map_batches(_project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+
+def range_join(left: rd.Dataset, right: rd.Dataset, key: str,
+               left_time: str, right_time: str,
+               lower: pd.Timedelta, upper: pd.Timedelta,
+               num_partitions: int = 8) -> rd.Dataset:
+    """Band join: every (left, right) pair with the same key and
+    ``left_time + lower <= right_time <= left_time + upper``.
+
+    Shape: bucket time by the band width w = upper − lower; each RIGHT
+    row lands in exactly one bucket, each LEFT row is replicated to the
+    (at most two) buckets its band can touch, and ONE native hash join
+    on (key, bucket) co-locates candidates — every true pair meets in
+    exactly one bucket (no dedup needed), candidate volume is ≤ 2× the
+    true join input, and the exact inequality filters per batch.  Right
+    payload columns are prefixed ``r_`` (the key keeps its name).
+    """
+    lo_ns = int(pd.Timedelta(lower).value)
+    hi_ns = int(pd.Timedelta(upper).value)
+    if hi_ns <= lo_ns:
+        raise ValueError("upper must exceed lower")
+    w = hi_ns - lo_ns
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={c: f"r_{c}" for c in df.columns
+                                 if c != key})
+        rt = df[right_time].astype("datetime64[ns]").astype("int64")
+        out["__b"] = rt // w
+        return out
+
+    def _replicate_left(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[left_time].astype("datetime64[ns]").astype("int64")
+        b0 = (lt + lo_ns) // w
+        b1 = (lt + hi_ns) // w
+        both = df.assign(__b=b0)
+        extra = df[(b1 != b0).to_numpy()].assign(
+            __b=b1[(b1 != b0).to_numpy()])
+        return pd.concat([both, extra], ignore_index=True)
+
+    l = left.map_batches(_replicate_left, batch_format="pandas")
+    r = right.map_batches(_tag_right, batch_format="pandas")
+    joined = l.join(r.repartition(num_partitions), join_type="inner",
+                    num_partitions=num_partitions, on=(key, "__b"))
+
+    def _exact(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[left_time].astype("datetime64[ns]").astype("int64")
+        rt = df[f"r_{right_time}"].astype("datetime64[ns]") \
+            .astype("int64")
+        d = rt - lt
+        return df[(d >= lo_ns) & (d <= hi_ns)].drop(columns=["__b"])
+
+    return joined.map_batches(_exact, batch_format="pandas")

@@ -69,3 +69,66 @@ def test_asof_empty_right_all_null(ray_session):
     assert len(got) == 2
     assert got["asof_time"].isna().all()
     assert got["asof_v"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def test_range_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    nl, nr, nk = 500, 400, 15
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": rng.integers(0, nk, nl),
+        "lt": base + pd.to_timedelta(rng.integers(0, 10**5, nl),
+                                     unit="s"),
+        "lid": np.arange(nl)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, nk, nr),
+        "rt": base + pd.to_timedelta(rng.integers(0, 10**5, nr),
+                                     unit="s"),
+        "rid": np.arange(nr)})
+    lo, hi = pd.Timedelta("-30min"), pd.Timedelta("45min")
+    from medcat_ray.ops.asof import range_join
+    m = left.merge(right, on="k")
+    d = m["rt"] - m["lt"]
+    exp = set(zip(m[(d >= lo) & (d <= hi)].lid,
+                  m[(d >= lo) & (d <= hi)].rid))
+    got_df = range_join(rd.from_pandas(left).repartition(4),
+                        rd.from_pandas(right).repartition(3),
+                        key="k", left_time="lt", right_time="rt",
+                        lower=lo, upper=hi).to_pandas()
+    got = set(zip(got_df.lid, got_df.r_rid))
+    # also: no duplicate pairs emitted
+    assert len(got_df) == len(got) == len(exp)
+    assert got == exp
+
+
+def test_range_join_band_edges(ray_session):
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({"k": [1], "lt": [base], "lid": [0]})
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 1],
+        "rt": [base - pd.Timedelta("1h"), base,
+               base + pd.Timedelta("1h"),
+               base + pd.Timedelta("1h") + pd.Timedelta("1us")],
+        "rid": [0, 1, 2, 3]})
+    from medcat_ray.ops.asof import range_join
+    got = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key="k", left_time="lt", right_time="rt",
+                     lower=pd.Timedelta("-1h"),
+                     upper=pd.Timedelta("1h")).to_pandas()
+    # inclusive bounds; the +1us row falls outside
+    assert sorted(got.r_rid.tolist()) == [0, 1, 2]
+
+
+def test_range_join_rejects_empty_band(ray_session):
+    import pytest
+    from medcat_ray.ops.asof import range_join
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1], "lt": [pd.Timestamp("2024-01-01")]}))
+    with pytest.raises(ValueError):
+        range_join(left, left, key="k", left_time="lt",
+                   right_time="lt", lower=pd.Timedelta("1h"),
+                   upper=pd.Timedelta("1h"))
