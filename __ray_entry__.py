@@ -560,6 +560,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = top_keywords(ds, n_docs, terms, dfs, k=5).to_pandas()
         return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
+    def doc_top_by_source(sf_dir):
+        """Grouped top-k (the ROW_NUMBER window pattern): 3 longest docs
+        per source, combiner-pruned before the shuffle (≤ blocks·k rows
+        per group), deterministic (n_chars desc, doc_id asc) ordering.
+        Oracle: SQL window function."""
+        import ray.data as rd
+        from medcat_ray.ops.topk import grouped_topk
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source", "n_chars"])
+        out = grouped_topk(ds, key="source", val="n_chars",
+                           tie="doc_id", k=3).to_pandas()
+        out["rank"] = out["rank"].astype("int64")
+        return out[["source", "rank", "doc_id", "n_chars"]] \
+            .sort_values(["source", "rank"]).reset_index(drop=True)
+
     def events_asof_orders(sf_dir):
         """Distributed backward as-of join (ops/asof.py): every event
         matched to the user's latest order at-or-before the event time;
@@ -1133,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_keywords": doc_top_keywords,
         "events_asof_orders": events_asof_orders,
         "events_range_pairs": events_range_pairs,
+        "doc_top_by_source": doc_top_by_source,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1613,6 +1629,16 @@ SELECT e.event_id, e.user_id, r.t AS asof_time,
        ROUND(r.v, 4) AS asof_total
 FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.t
 ORDER BY event_id
+""",
+        # SQL window function twin
+        "doc_top_by_source": """
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents)
+WHERE rank <= 3
+ORDER BY source, rank
 """,
         # plain SQL inequality self-join
         "events_range_pairs": """
