@@ -560,6 +560,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = top_keywords(ds, n_docs, terms, dfs, k=5).to_pandas()
         return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
+    def doc_len_quantiles(sf_dir):
+        """Exact discrete quantiles of document length via the
+        histogram technique (one cardinality-sized groupby-count
+        shuffle, then a driver walk over the tiny histogram).  Oracle:
+        the same ceil(q·N) cumulative-count definition in SQL."""
+        import ray.data as rd
+        from medcat_ray.ops.quantiles import exact_quantiles
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["n_chars"])
+        return exact_quantiles(ds, "n_chars",
+                               [0.25, 0.5, 0.75, 0.9, 0.99])
+
     def doc_top_by_source(sf_dir):
         """Grouped top-k (the ROW_NUMBER window pattern): 3 longest docs
         per source, combiner-pruned before the shuffle (≤ blocks·k rows
@@ -1149,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events_asof_orders,
         "events_range_pairs": events_range_pairs,
         "doc_top_by_source": doc_top_by_source,
+        "doc_len_quantiles": doc_len_quantiles,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1629,6 +1642,18 @@ SELECT e.event_id, e.user_id, r.t AS asof_time,
        ROUND(r.v, 4) AS asof_total
 FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.t
 ORDER BY event_id
+""",
+        # same ceil(q*N) cumulative-count definition over the histogram
+        "doc_len_quantiles": """
+WITH c AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1),
+s AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT COUNT(*) AS total FROM documents),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT q, MIN(v) AS value
+FROM qs, s, t
+WHERE s.cum >= CEIL(q * t.total)
+GROUP BY q
+ORDER BY q
 """,
         # SQL window function twin
         "doc_top_by_source": """
