@@ -9,11 +9,15 @@ annotate actor stage (M1-M13 dictionary NER + linking + overlap resolution)
 and the triple stage (T3 candidate semantics, A5/D5 dedup-count) over the
 ``documents`` table with a frozen single-token concept space, which makes
 them exactly SQL-checkable (offsets via cumulative-length window sums).
-Relational queries exercise groupby-aggregate, broadcast joins, sort/limit
-and tumbling windows; ops queries cover dedup, text stats, similarity
-search.  Rows-only queries (no oracle) are the genuinely non-SQL ops:
-MinHash/SimHash clustering, LSH ANN, language-ID, fingerprints, multimodal
-stubs, and the HTML pages flagship.
+Relational queries exercise groupby-aggregate, broadcast joins, sort/limit,
+tumbling/sliding windows, as-of and range joins, grouped top-k and exact
+quantiles; ops queries cover the dedup family (exact/minhash/simhash/
+jaccard/embedding/span/url), text stats + cleaning (C4), decontamination,
+LM perplexity, mixture sampling, keywords, similarity search, language ID
+and multimodal decode — all oracle-checked, including the HTML pages
+flagship (byte-identity text column).  The only rows-only queries are
+``multimodal_image_stub`` and ``cdb_stats`` (constant outputs with no
+table-derivable oracle).
 """
 
 from __future__ import annotations
