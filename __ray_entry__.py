@@ -591,6 +591,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["source", "rank", "doc_id", "n_chars"]] \
             .sort_values(["source", "rank"]).reset_index(drop=True)
 
+    def training_corpus_pipeline(sf_dir):
+        """The COMPOSED training-data pipeline, end-to-end over one
+        streaming plan: synthesized pages → cross-document span dedup
+        (boilerplate spans removed; a non-keeper removal can drop a doc
+        below the C4 line floor — real stage interaction) → C4 line
+        cleaning + keep-floor → decontamination against the held-out
+        benchmark → surviving (doc_id, text, n_tokens).  The oracle
+        chains the same CTE twins, proving the stages COMPOSE, not just
+        pass individually."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.decontam import (benchmark_gram_set,
+                                             flag_contamination)
+        from medcat_ray.ops.textclean import clean_lines, span_dedup
+
+        deduped = span_dedup(_synth_c4_pages(sf_dir), span=3)
+
+        def _to_text(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "text": batch["clean_text"]})
+
+        cleaned = clean_lines(
+            deduped.map_batches(_to_text, batch_format="pyarrow"))
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(batch["c4_keep"])
+            return pa.table({"doc_id": kept["doc_id"],
+                             "text": kept["clean_text"]})
+
+        corpus = cleaned.map_batches(_keep, batch_format="pyarrow")
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+        def _bench_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(batch["doc_id"].to_numpy() % 17 == 0))
+
+        bench_set = benchmark_gram_set(
+            docs.map_batches(_bench_only, batch_format="pyarrow"), n=8)
+        flagged = flag_contamination(corpus, bench_set, n=8)
+
+        def _final(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(
+                pa.compute.invert(batch["contaminated"]))
+            texts = kept["text"].to_pylist()
+            return pa.table({
+                "doc_id": kept["doc_id"],
+                "text": kept["text"],
+                "n_tokens": pa.array([len((t or "").split())
+                                      for t in texts],
+                                     type=pa.int64())})
+
+        out = flagged.map_batches(_final, batch_format="pyarrow") \
+            .to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def events_asof_orders(sf_dir):
         """Distributed backward as-of join (ops/asof.py): every event
         matched to the user's latest order at-or-before the event time;
@@ -1166,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_pairs": events_range_pairs,
         "doc_top_by_source": doc_top_by_source,
         "doc_len_quantiles": doc_len_quantiles,
+        "training_corpus_pipeline": training_corpus_pipeline,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1242,21 +1300,21 @@ _C4_PAGES_SQL = """
   FROM documents"""
 
 
-def _span_dedup_oracle() -> str:
-    """SQL twin of textclean.span_dedup over the synthesized pages:
-    3-line span strings → poly+splitmix64 hashes (identical arithmetic,
-    so collisions agree) → per-hash keeper = MIN(doc_id·2^20 + pos) →
-    union of non-keeper span lines removed → lines reassembled with
-    string_agg ORDER BY position."""
+def _span_dedup_cte_chain() -> str:
+    """CTE fragments implementing textclean.span_dedup given an existing
+    CTE ``lines(doc_id, ls)``: 3-line span strings → poly+splitmix64
+    hashes (identical arithmetic, so collisions agree) → per-hash keeper
+    = MIN(doc_id·2^20 + pos) → union of non-keeper span lines removed →
+    ``agg_out(doc_id, clean_text, n_kept)`` reassembled with string_agg
+    ORDER BY position (docs absent from agg_out kept all lines... no:
+    every doc with ≥1 kept line appears; fully-removed docs are absent —
+    callers COALESCE)."""
     from medcat_ray.ops.sql_oracle import _M64, _P, mix64_staged
     poly = (f"list_reduce([CAST(unicode(substr(sp, i, 1)) AS HUGEINT)"
             f" for i in generate_series(1, length(sp))],"
             f" (acc, x) -> (acc * {_P} + x) % {_M64})")
     maxpos = 1 << 20
-    return f"""
-WITH pages AS ({_C4_PAGES_SQL}),
-lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
-spans AS (
+    return f"""spans AS (
   SELECT doc_id, i - 1 AS pos, array_to_string(ls[i:i+2], chr(10)) AS sp
   FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i
         FROM lines WHERE len(ls) >= 3)
@@ -1278,12 +1336,59 @@ kept AS (SELECT p.doc_id, p.j, p.ls[p.j] AS line
 agg_out AS (SELECT doc_id,
                    string_agg(line, chr(10) ORDER BY j) AS clean_text,
                    COUNT(*) AS n_kept
-            FROM kept GROUP BY doc_id)
+            FROM kept GROUP BY doc_id)"""
+
+
+def _span_dedup_oracle() -> str:
+    """SQL twin of textclean.span_dedup over the synthesized pages —
+    the reusable CTE chain (:func:`_span_dedup_cte_chain`) plus the
+    query's projection."""
+    return f"""
+WITH pages AS ({_C4_PAGES_SQL}),
+lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+{_span_dedup_cte_chain()}
 SELECT l.doc_id,
        CAST(len(l.ls) - COALESCE(o.n_kept, 0) AS BIGINT)
            AS n_removed_lines,
        COALESCE(o.clean_text, '') AS clean_text
 FROM lines l LEFT JOIN agg_out o USING (doc_id)
+ORDER BY doc_id"""
+
+
+def _training_pipeline_oracle() -> str:
+    """Chained SQL twin of the COMPOSED training-corpus pipeline:
+    pages → span dedup (reused CTE chain) → C4 line filter → keep docs
+    with ≥3 kept lines → decontaminate against the raw-documents
+    benchmark (reused gram CTEs) → surviving (doc_id, text, n_tokens)."""
+    from medcat_ray.ops.sql_oracle import _WS_CLASS, _gram_cte
+    c4_pred = """l ->
+           right(rtrim(l, ' ' || chr(9) || chr(13)), 1)
+             IN ('.', '!', '?', '"')
+           AND len([w for w in string_split(l, ' ') if w <> '']) >= 3
+           AND NOT contains(lower(l), 'lorem ipsum')
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(l, '{')"""
+    return f"""
+WITH pages AS ({_C4_PAGES_SQL}),
+lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+{_span_dedup_cte_chain()},
+sd AS (SELECT l.doc_id, COALESCE(o.clean_text, '') AS text
+       FROM lines l LEFT JOIN agg_out o USING (doc_id)),
+ls2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM sd),
+flt AS (SELECT doc_id, list_filter(ls, {c4_pred}) AS kept FROM ls2),
+corpus AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+           FROM flt WHERE len(kept) >= 3),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+{_gram_cte("corpus", "doc_id", "text", 8, "ctoks", "cgrams", "cgh")},
+{_gram_cte("bench", "doc_id", "text", 8, "btoks", "bgrams", "bgh")},
+bset AS (SELECT DISTINCT gh FROM bgh),
+dirty AS (SELECT DISTINCT c.id FROM cgh c JOIN bset b ON c.gh = b.gh)
+SELECT c.doc_id, c.text,
+       CAST(len([w for w in regexp_split_to_array(c.text,
+                                                  '{_WS_CLASS}+')
+                 if w <> '']) AS BIGINT) AS n_tokens
+FROM corpus c LEFT JOIN dirty d ON c.doc_id = d.id
+WHERE d.id IS NULL
 ORDER BY doc_id"""
 
 
@@ -1632,6 +1737,8 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "decontaminate_docs": _decontam_oracle(),
         # span hashes + keeper arithmetic recomputed in DuckDB
         "span_dedup_docs": _span_dedup_oracle(),
+        # the composed pipeline: span-dedup + C4 + decontam CTE chains
+        "training_corpus_pipeline": _training_pipeline_oracle(),
         # identical mix64 hash-threshold arithmetic + integer thresholds
         "doc_mixture_sample": _mixture_oracle(),
         # regex-pass canonicalization twin + window-min keeper
