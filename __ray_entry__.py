@@ -591,6 +591,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["source", "rank", "doc_id", "n_chars"]] \
             .sort_values(["source", "rank"]).reset_index(drop=True)
 
+    def doc_sentences(sf_dir):
+        """Sentence segmentation over the synthesized multi-line pages
+        (periods/bangs per line + an unterminated tail): exploded
+        (doc_id, sent_idx, sentence) rows.  The oracle applies the
+        IDENTICAL lookaround-free regex with regexp_extract_all."""
+        from medcat_ray.ops.textclean import split_sentences
+        out = split_sentences(_synth_c4_pages(sf_dir)).to_pandas()
+        return out.sort_values(["doc_id", "sent_idx"]) \
+            .reset_index(drop=True)
+
     def training_corpus_pipeline(sf_dir):
         """The COMPOSED training-data pipeline, end-to-end over one
         streaming plan: synthesized pages → cross-document span dedup
@@ -1224,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_by_source": doc_top_by_source,
         "doc_len_quantiles": doc_len_quantiles,
         "training_corpus_pipeline": training_corpus_pipeline,
+        "doc_sentences": doc_sentences,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1739,6 +1750,24 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "span_dedup_docs": _span_dedup_oracle(),
         # the composed pipeline: span-dedup + C4 + decontam CTE chains
         "training_corpus_pipeline": _training_pipeline_oracle(),
+        # identical lookaround-free sentence regex via regexp_extract_all
+        "doc_sentences": f"""
+WITH pages AS ({_C4_PAGES_SQL}),
+r AS (SELECT doc_id,
+             regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+$') AS l
+      FROM pages),
+s1 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM r),
+s2 AS (SELECT doc_id, i,
+              regexp_replace(regexp_replace(l[i],
+                  '^{_WS_CLASS}+', ''), '{_WS_CLASS}+$', '') AS sentence
+       FROM s1),
+s3 AS (SELECT doc_id, sentence,
+              row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                  AS sent_idx
+       FROM s2 WHERE sentence <> '')
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence FROM s3
+ORDER BY doc_id, sent_idx
+""",
         # identical mix64 hash-threshold arithmetic + integer thresholds
         "doc_mixture_sample": _mixture_oracle(),
         # regex-pass canonicalization twin + window-min keeper

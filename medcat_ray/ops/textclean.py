@@ -18,6 +18,8 @@ operator, oracle-checked end-to-end by the ``doc_c4_clean`` driver query
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -299,3 +301,38 @@ def span_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         return out.drop_columns(["removed_csv"])
 
     return joined.map_batches(_apply_join, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation
+# ---------------------------------------------------------------------------
+
+_SENT_RE = re.compile(r"[^.!?]+[.!?]+|[^.!?]+$")
+
+
+def split_sentences(ds: rd.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id") -> rd.Dataset:
+    """Exploded (id, sent_idx, sentence) rows: sentences are maximal
+    runs ending in terminal punctuation plus an unterminated tail,
+    Unicode-whitespace-stripped, empties dropped — a single regex with
+    no lookaround, so a DuckDB/RE2 oracle applies the identical pattern
+    (``regexp_extract_all``).  0-based ``sent_idx`` counts the KEPT
+    sentences in document order."""
+    def _split(batch: pa.Table) -> pa.Table:
+        o_id, o_ix, o_s = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            idx = 0
+            for m in _SENT_RE.findall(t or ""):
+                s = m.strip()
+                if s:
+                    o_id.append(i)
+                    o_ix.append(idx)
+                    o_s.append(s)
+                    idx += 1
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "sent_idx": pa.array(o_ix, type=pa.int64()),
+            "sentence": pa.array(o_s, type=pa.string())})
+
+    return ds.map_batches(_split, batch_format="pyarrow")

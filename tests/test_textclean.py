@@ -112,3 +112,31 @@ def test_span_dedup_no_duplicates(ray_session):
         out = span_dedup(ds, method=method).to_pandas()
         assert out.n_removed_lines.tolist() == [0, 0]
         assert out.clean_text.tolist() == ["a\nb\nc\nd", "e\nf\ng\nh"]
+
+
+# ---------------------------------------------------------------------------
+# split_sentences
+# ---------------------------------------------------------------------------
+
+def test_split_sentences(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from medcat_ray.ops.textclean import split_sentences
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "First one. Second!  Third?? tail without end",
+            "",
+            "only.a.run...",
+        ])}))
+    out = split_sentences(ds).to_pandas() \
+        .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    assert d0.sentence.tolist() == [
+        "First one.", "Second!", "Third??", "tail without end"]
+    assert d0.sent_idx.tolist() == [0, 1, 2, 3]
+    assert (out.doc_id == 1).sum() == 0          # empty doc: no rows
+    # the regex splits at every terminal-punctuation run (no
+    # abbreviation heuristics) — defined, documented behavior
+    assert out[out.doc_id == 2].sentence.tolist() == \
+        ["only.", "a.", "run..."]
