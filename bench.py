@@ -222,6 +222,38 @@ def run_bench() -> dict:
         top_keywords(ds, ds.count(), terms, dfs).count()
     timed("top_keywords", _kw)
 
+    def _asof():
+        import pandas as pd
+        from ray.data.aggregate import Sum
+        from medcat_ray.ops.asof import asof_join
+        ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        orders = rd.read_parquet(
+            os.path.join(SF_DIR, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        right = orders.groupby(["o_custkey", "o_orderdate"]) \
+            .aggregate(Sum("o_totalprice", alias_name="total"))
+
+        def _norm(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "user_id": df["o_custkey"],
+                "order_ts": df["o_orderdate"].astype("datetime64[us]"),
+                "total": df["total"]})
+        asof_join(ev, right.map_batches(_norm, batch_format="pandas"),
+                  key="user_id", left_time="ts", right_time="order_ts",
+                  right_vals=["total"]).count()
+    timed("asof_join", _asof)
+
+    def _range():
+        import pandas as pd
+        from medcat_ray.ops.asof import range_join
+        ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        range_join(ev, ev, key="user_id", left_time="ts",
+                   right_time="ts", lower=pd.Timedelta("-1h"),
+                   upper=pd.Timedelta("1h")).count()
+    timed("range_join", _range)
+
     def _ivf():
         from medcat_ray.ops.similarity import knn_ivf
         emb_path = os.path.join(SF_DIR, "embeddings.parquet")
