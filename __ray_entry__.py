@@ -724,6 +724,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def doc_sample_n(sf_dir):
+        """Exact-N deterministic uniform sample: rank by
+        mix64(id·P + seed), keep the 37 smallest — shuffle-free (per-
+        block argpartition partials, driver merge of ≤ blocks·N rows);
+        the oracle orders by the identical hash expression."""
+        import ray.data as rd
+        from medcat_ray.ops.sample import sample_exact_n
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source"])
+        out = sample_exact_n(ds, n=37, seed=1)
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def url_dedup_docs(sf_dir):
         """URL canonicalization + URL-keyed dedup: synthesized URLs
         (deterministic from doc_id) plant case/port/fragment/tracking
@@ -1235,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": doc_len_quantiles,
         "training_corpus_pipeline": training_corpus_pipeline,
         "doc_sentences": doc_sentences,
+        "doc_sample_n": doc_sample_n,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1427,6 +1440,11 @@ SELECT doc_id, canonical_url FROM (
   FROM canon)
 WHERE doc_id = kid
 ORDER BY doc_id"""
+
+
+def _sample_n_oracle() -> str:
+    from medcat_ray.ops.sample import sample_exact_n_oracle_sql
+    return sample_exact_n_oracle_sql(37, seed=1) + "\nORDER BY doc_id"
 
 
 def _mixture_oracle() -> str:
@@ -1770,6 +1788,8 @@ ORDER BY doc_id, sent_idx
 """,
         # identical mix64 hash-threshold arithmetic + integer thresholds
         "doc_mixture_sample": _mixture_oracle(),
+        # identical mix64 ranking, row_number < n
+        "doc_sample_n": _sample_n_oracle(),
         # regex-pass canonicalization twin + window-min keeper
         "url_dedup_docs": _url_dedup_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated

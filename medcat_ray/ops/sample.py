@@ -86,3 +86,57 @@ rates({key_col}, thr) AS (VALUES {vals})
 SELECT h.{id_col}, h.{key_col}
 FROM h JOIN rates r USING ({key_col})
 WHERE h.hv < r.thr"""
+
+
+def sample_exact_n(ds: rd.Dataset, n: int, id_col: str = "doc_id",
+                   seed: int = 1):
+    """Deterministic uniform sample of EXACTLY ``n`` rows: rank every
+    row by ``mix64(id·P + seed)`` and keep the n smallest — equivalent
+    to a seeded shuffle + LIMIT n, but shuffle-free: each block keeps
+    its n smallest locally (argpartition) and the driver merges the
+    ≤ blocks·n survivors (sample sizes fit a driver by definition).
+    Ties (64-bit collisions) break by id.  Returns a pandas DataFrame
+    of the selected rows plus their ``sample_rank`` (0-based).
+
+    SQL twin: ORDER BY the identical mix64 expression, LIMIT n — see
+    the ``doc_sample_n`` driver query."""
+    import pandas as pd
+    seed_u = np.uint64(seed)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix64(ids * _POLY_BASE + seed_u)
+        k = min(n, len(ids))
+        if k == 0:
+            return batch.append_column("__h",
+                                       pa.array([], type=pa.uint64()))
+        keep = np.argpartition(h, k - 1)[:k]
+        return (batch.take(pa.array(np.sort(keep)))
+                .append_column("__h", pa.array(h[np.sort(keep)],
+                                               type=pa.uint64())))
+
+    part = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(["__h", id_col]).head(n) \
+        .reset_index(drop=True)
+    part["sample_rank"] = pd.Series(range(len(part)), dtype="int64")
+    return part.drop(columns=["__h"])
+
+
+def sample_exact_n_oracle_sql(n: int, table: str = "documents",
+                              id_col: str = "doc_id",
+                              cols: str = "doc_id, source",
+                              seed: int = 1) -> str:
+    """DuckDB twin of :func:`sample_exact_n` over ``table``."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, mix64_staged
+    h = mix64_staged(table, cols,
+                     f"(CAST({id_col} AS HUGEINT) * {_P} + {seed})"
+                     f" % {_M64}", "hv")
+    return f"""
+WITH h AS ({h}),
+ranked AS (SELECT {cols},
+                  row_number() OVER (ORDER BY hv, {id_col}) - 1
+                      AS sample_rank
+           FROM h)
+SELECT {cols}, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank < {n}"""

@@ -49,3 +49,19 @@ def test_thresholds_exact():
     assert t["y"] == 1 << 64
     assert t["z"] == 0
     assert t["w"] == 1 << 64   # clamped
+
+
+def test_sample_exact_n(ray_session):
+    ds = _ds(500)
+    a = __import__("medcat_ray.ops.sample", fromlist=["sample_exact_n"])
+    out1 = a.sample_exact_n(ds, n=20, seed=1)
+    out2 = a.sample_exact_n(_ds(500), n=20, seed=1)
+    assert len(out1) == 20
+    assert out1.sample_rank.tolist() == list(range(20))
+    # deterministic across runs; different seed -> different sample
+    assert out1.doc_id.tolist() == out2.doc_id.tolist()
+    out3 = a.sample_exact_n(_ds(500), n=20, seed=2)
+    assert out3.doc_id.tolist() != out1.doc_id.tolist()
+    # n larger than dataset: returns everything
+    small = a.sample_exact_n(_ds(9), n=50, seed=1)
+    assert len(small) == 9
