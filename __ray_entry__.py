@@ -601,6 +601,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "sent_idx"]) \
             .reset_index(drop=True)
 
+    def span_dedup_sentences(sf_dir):
+        """C4's LITERAL 'three-sentence span' dedup: pages are resegmented
+        into sentences (the lookaround-free regex) and span_dedup runs
+        over the sentence sequence — pure composition of the two
+        oracle-checked operators.  Boilerplate sentence runs repeat
+        across doc_id residue classes, so real cross-document
+        3-sentence spans are removed."""
+        import pyarrow as pa
+        from medcat_ray.ops.textclean import sentence_list, span_dedup
+
+        def _sentjoin(batch: pa.Table) -> pa.Table:
+            texts = ["\n".join(sentence_list(t))
+                     for t in batch["text"].to_pylist()]
+            return pa.table({"doc_id": batch["doc_id"],
+                             "text": pa.array(texts, pa.string())})
+
+        pages = _synth_c4_pages(sf_dir).map_batches(
+            _sentjoin, batch_format="pyarrow")
+        out = span_dedup(pages, span=3) \
+            .select_columns(["doc_id", "n_removed_lines", "clean_text"]) \
+            .to_pandas().rename(
+                columns={"n_removed_lines": "n_removed_sentences"})
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def training_corpus_pipeline(sf_dir):
         """The COMPOSED training-data pipeline, end-to-end over one
         streaming plan: synthesized pages → cross-document span dedup
@@ -1248,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_pipeline": training_corpus_pipeline,
         "doc_sentences": doc_sentences,
         "doc_sample_n": doc_sample_n,
+        "span_dedup_sentences": span_dedup_sentences,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_video_sample": multimodal_video_sample,
@@ -1374,6 +1399,36 @@ lines AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
 SELECT l.doc_id,
        CAST(len(l.ls) - COALESCE(o.n_kept, 0) AS BIGINT)
            AS n_removed_lines,
+       COALESCE(o.clean_text, '') AS clean_text
+FROM lines l LEFT JOIN agg_out o USING (doc_id)
+ORDER BY doc_id"""
+
+
+def _span_dedup_sentences_oracle() -> str:
+    """Sentence-mode span dedup twin: the doc_sentences regex chain
+    rebuilds the sentence-joined page, then the shared span-dedup CTE
+    chain removes duplicated 3-sentence windows."""
+    from medcat_ray.ops.sql_oracle import _WS_CLASS
+    return f"""
+WITH pages AS ({_C4_PAGES_SQL}),
+r AS (SELECT doc_id,
+             regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+$') AS l
+      FROM pages),
+s1 AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM r),
+s2 AS (SELECT doc_id, i,
+              regexp_replace(regexp_replace(l[i],
+                  '^{_WS_CLASS}+', ''), '{_WS_CLASS}+$', '') AS sentence
+       FROM s1),
+sj AS (SELECT doc_id,
+              string_agg(sentence, chr(10) ORDER BY i) AS page2
+       FROM s2 WHERE sentence <> '' GROUP BY doc_id),
+lines AS (SELECT p.doc_id,
+                 string_split(COALESCE(sj.page2, ''), chr(10)) AS ls
+          FROM pages p LEFT JOIN sj USING (doc_id)),
+{_span_dedup_cte_chain()}
+SELECT l.doc_id,
+       CAST(len(l.ls) - COALESCE(o.n_kept, 0) AS BIGINT)
+           AS n_removed_sentences,
        COALESCE(o.clean_text, '') AS clean_text
 FROM lines l LEFT JOIN agg_out o USING (doc_id)
 ORDER BY doc_id"""
@@ -1768,6 +1823,8 @@ SELECT doc_id, lang AS lang_pred FROM documents
         "span_dedup_docs": _span_dedup_oracle(),
         # the composed pipeline: span-dedup + C4 + decontam CTE chains
         "training_corpus_pipeline": _training_pipeline_oracle(),
+        # sentence regex chain + the shared span-dedup CTE chain
+        "span_dedup_sentences": _span_dedup_sentences_oracle(),
         # identical lookaround-free sentence regex via regexp_extract_all
         "doc_sentences": f"""
 WITH pages AS ({_C4_PAGES_SQL}),

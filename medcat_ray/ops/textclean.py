@@ -310,6 +310,17 @@ def span_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 _SENT_RE = re.compile(r"[^.!?]+[.!?]+|[^.!?]+$")
 
 
+def sentence_list(text: str):
+    """Stripped, non-empty sentences of ``text`` in order (the same
+    maximal-run regex as :func:`split_sentences`)."""
+    out = []
+    for m in _SENT_RE.findall(text or ""):
+        s = m.strip()
+        if s:
+            out.append(s)
+    return out
+
+
 def split_sentences(ds: rd.Dataset, text_col: str = "text",
                     id_col: str = "doc_id") -> rd.Dataset:
     """Exploded (id, sent_idx, sentence) rows: sentences are maximal
@@ -322,14 +333,10 @@ def split_sentences(ds: rd.Dataset, text_col: str = "text",
         o_id, o_ix, o_s = [], [], []
         for i, t in zip(batch[id_col].to_pylist(),
                         batch[text_col].to_pylist()):
-            idx = 0
-            for m in _SENT_RE.findall(t or ""):
-                s = m.strip()
-                if s:
-                    o_id.append(i)
-                    o_ix.append(idx)
-                    o_s.append(s)
-                    idx += 1
+            for idx, s in enumerate(sentence_list(t)):
+                o_id.append(i)
+                o_ix.append(idx)
+                o_s.append(s)
         return pa.table({
             id_col: pa.array(o_id, type=pa.int64()),
             "sent_idx": pa.array(o_ix, type=pa.int64()),
