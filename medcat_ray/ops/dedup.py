@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+from medcat_ray.ops.numeric import round_half_away
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -708,7 +709,7 @@ def verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
         j = jaccard(texts.get(r["id_a"], ""), texts.get(r["id_b"], ""), k)
         if j >= threshold:
             out.append({"id_a": r["id_a"], "id_b": r["id_b"],
-                        "jaccard": round(j, 6)})
+                        "jaccard": float(round_half_away(j, 6))})
     return rd.from_pandas(pd.DataFrame(out,
                                        columns=["id_a", "id_b", "jaccard"]))
 
@@ -757,7 +758,7 @@ def verify_pairs_jaccard_distributed(pairs: rd.Dataset, docs: rd.Dataset,
             if j >= threshold:
                 ids_a.append(a)
                 ids_b.append(b)
-                out_j.append(round(j, 6))
+                out_j.append(float(round_half_away(j, 6)))
         return pa.table({"id_a": pa.array(ids_a, type=batch["id_a"].type),
                          "id_b": pa.array(ids_b, type=batch["id_b"].type),
                          "jaccard": pa.array(out_j, type=pa.float64())})
@@ -854,7 +855,7 @@ def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
             keep = (S[iu, ju] >= threshold) & (ids[sel][iu] != ids[sel][ju])
             out_a.extend(ids[sel][iu][keep])
             out_b.extend(ids[sel][ju][keep])
-            out_c.extend(np.round(S[iu, ju][keep], 6))
+            out_c.extend(round_half_away(S[iu, ju][keep], 6))
 
         def sub(sel: np.ndarray, depth: int) -> None:
             if len(sel) <= max_bucket or depth >= _split_depth:

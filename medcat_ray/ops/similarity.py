@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+from medcat_ray.ops.numeric import round_half_away
 import pandas as pd
 import pyarrow as pa
 
@@ -67,7 +68,7 @@ class BruteForceTopK:
         return pa.table({
             "query_id": pa.array(out_q),
             "neighbor_id": pa.array(out_n),
-            "score": pa.array(np.round(out_s, 6)),
+            "score": pa.array(round_half_away(np.asarray(out_s), 6)),
         })
 
 
@@ -232,7 +233,7 @@ def knn_ivf(ds: rd.Dataset, query_ids, query_matrix, k: int = 10,
             return pa.table({
                 "query_id": pa.array(out_q),
                 "neighbor_id": pa.array(out_n),
-                "score": pa.array(np.round(out_s, 6)),
+                "score": pa.array(round_half_away(np.asarray(out_s), 6)),
             })
 
     partials = ds.map_batches(IVFScan, batch_format="pyarrow",

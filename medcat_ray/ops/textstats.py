@@ -19,6 +19,7 @@ import ray.data as rd
 
 from medcat_ray.functions.text import STOPWORDS
 from medcat_ray.ops.hashing import rolling_fingerprint
+from medcat_ray.ops.numeric import round_half_away
 
 # A GPT-2-style pretokenizer regex (public, simplified): contractions,
 # letter runs, digit runs, punct runs — "BPE-ish" token counting.
@@ -73,10 +74,10 @@ def add_quality(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         score = 0.4 * length_ok + 0.3 * word_len_ok + 0.3 * punct_ok
         return (batch
                 .append_column("n_words", pa.array(n_words))
-                .append_column("punct_ratio", pa.array(np.round(punct_ratio, 6)))
-                .append_column("stopword_ratio", pa.array(np.round(stop_ratio, 6)))
-                .append_column("mean_word_len", pa.array(np.round(mean_word_len, 6)))
-                .append_column("quality_score", pa.array(np.round(score, 6))))
+                .append_column("punct_ratio", pa.array(round_half_away(punct_ratio, 6)))
+                .append_column("stopword_ratio", pa.array(round_half_away(stop_ratio, 6)))
+                .append_column("mean_word_len", pa.array(round_half_away(mean_word_len, 6)))
+                .append_column("quality_score", pa.array(round_half_away(score, 6))))
     return ds.map_batches(_quality, batch_format="pyarrow")
 
 
@@ -179,7 +180,12 @@ def add_repetition(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
             & (out["dup_3gram_frac"] <= 0.30)
         t = batch
         for name, arr in out.items():
-            t = t.append_column(name, pa.array(np.round(arr, 6)))
+            # DuckDB ROUND is half-away-from-zero; np.round is half-to-even
+            # (banker's) and diverges on exact .xxxxx5 ties.  Values are
+            # non-negative fractions, so floor(x*1e6 + 0.5)/1e6 matches the
+            # oracle exactly (CORRECTNESS_r03 doc_repetition hash fix).
+            t = t.append_column(
+                name, pa.array(round_half_away(arr, 6)))
         return t.append_column("repetition_ok",
                                pa.array(rep_ok, type=pa.bool_()))
     return ds.map_batches(_rep, batch_format="pyarrow")

@@ -24,6 +24,7 @@ from typing import Dict
 
 import numpy as np
 import pandas as pd
+from medcat_ray.ops.numeric import round_half_away
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -73,10 +74,10 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             Sum("sum_disc", alias_name="sum_disc"),
             Sum("count_order", alias_name="count_order")) \
         .to_pandas()
-    merged["avg_qty"] = (merged["sum_qty"] / merged["count_order"]).round(6)
-    merged["avg_disc"] = (merged["sum_disc"] / merged["count_order"]).round(6)
+    merged["avg_qty"] = round_half_away(merged["sum_qty"] / merged["count_order"], 6)
+    merged["avg_disc"] = round_half_away(merged["sum_disc"] / merged["count_order"], 6)
     for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        merged[col] = merged[col].round(2)
+        merged[col] = round_half_away(merged[col], 2)
     merged = merged.drop(columns=["sum_disc"])
     return merged.sort_values(["l_returnflag", "l_linestatus"]) \
         .reset_index(drop=True)
@@ -128,7 +129,7 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = None) -> pd.DataFrame:
         .groupby("n_name").aggregate(
             Sum("revenue", alias_name="revenue"),
             Sum("n_orders", alias_name="n_orders")).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = round_half_away(out["revenue"], 2)
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -138,7 +139,7 @@ def top_parts_by_price(sf_dir: str, k: int = 10) -> pd.DataFrame:
                          columns=["p_partkey", "p_name", "p_retailprice"])
     out = ds.sort(["p_retailprice", "p_partkey"],
                   descending=[True, False]).limit(k).to_pandas()
-    out["p_retailprice"] = out["p_retailprice"].round(2)
+    out["p_retailprice"] = round_half_away(out["p_retailprice"], 2)
     return out
 
 
@@ -166,7 +167,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         .groupby(["event_type", "hour"]).aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value", alias_name="sum_value")).to_pandas()
-    out["sum_value"] = out["sum_value"].round(3)
+    out["sum_value"] = round_half_away(out["sum_value"], 3)
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
@@ -190,7 +191,7 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
         .groupby("n_name").aggregate(
             Sum("s_acctbal", alias_name="total_acctbal"),
             Count(alias_name="n_suppliers")).to_pandas()
-    out["total_acctbal"] = out["total_acctbal"].round(2)
+    out["total_acctbal"] = round_half_away(out["total_acctbal"], 2)
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -202,8 +203,8 @@ def orders_priority_counts(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n_orders"),
         Min("o_totalprice", alias_name="min_price"),
         Max("o_totalprice", alias_name="max_price")).to_pandas()
-    out["min_price"] = out["min_price"].round(2)
-    out["max_price"] = out["max_price"].round(2)
+    out["min_price"] = round_half_away(out["min_price"], 2)
+    out["max_price"] = round_half_away(out["max_price"], 2)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -250,7 +251,7 @@ def events_sliding(sf_dir: str, window_min: int = 60,
             Sum("sum_value", alias_name="sum_value")).to_pandas()
     out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(3)
+    out["sum_value"] = round_half_away(out["sum_value"], 3)
     return out.sort_values(["event_type", "window_start"]) \
         .reset_index(drop=True)
 
@@ -335,6 +336,6 @@ def user_sessions(sf_dir: str, gap_min: int = 30) -> pd.DataFrame:
         .map_batches(block_sessions, batch_format="pandas")
     out = _merge_sessions_distributed(sess, gap).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(3)
+    out["sum_value"] = round_half_away(out["sum_value"], 3)
     return out.sort_values(["user_id", "session_start"]) \
         .reset_index(drop=True)

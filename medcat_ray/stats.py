@@ -16,6 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
+from medcat_ray.ops.numeric import round_half_away
 import pyarrow as pa
 
 import ray.data as rd
@@ -61,10 +62,10 @@ def prf_per_cui(pred: rd.Dataset, gold: rd.Dataset,
             Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
             Sum("fn", alias_name="fn")).to_pandas()
     tp, fp, fn = counts["tp"], counts["fp"], counts["fn"]
-    counts["prec"] = (tp / (tp + fp).clip(lower=1)).round(6)
-    counts["rec"] = (tp / (tp + fn).clip(lower=1)).round(6)
+    counts["prec"] = round_half_away(tp / (tp + fp).clip(lower=1), 6)
+    counts["rec"] = round_half_away(tp / (tp + fn).clip(lower=1), 6)
     denom = (2 * tp + fp + fn).clip(lower=1)
-    counts["f1"] = (2 * tp / denom).round(6)
+    counts["f1"] = round_half_away(2 * tp / denom, 6)
     return counts.sort_values(cui_col).reset_index(drop=True)
 
 
@@ -90,9 +91,9 @@ def merge_fold_stats(folds: Sequence[pd.DataFrame]) -> pd.DataFrame:
     merged = pd.concat([f[["cui", "tp", "fp", "fn"]] for f in folds]) \
         .groupby("cui", as_index=False).sum()
     tp, fp, fn = merged["tp"], merged["fp"], merged["fn"]
-    merged["prec"] = (tp / (tp + fp).clip(lower=1)).round(6)
-    merged["rec"] = (tp / (tp + fn).clip(lower=1)).round(6)
-    merged["f1"] = (2 * tp / (2 * tp + fp + fn).clip(lower=1)).round(6)
+    merged["prec"] = round_half_away(tp / (tp + fp).clip(lower=1), 6)
+    merged["rec"] = round_half_away(tp / (tp + fn).clip(lower=1), 6)
+    merged["f1"] = round_half_away(2 * tp / (2 * tp + fp + fn).clip(lower=1), 6)
     return merged.sort_values("cui").reset_index(drop=True)
 
 

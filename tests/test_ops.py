@@ -243,6 +243,33 @@ def test_repetition_signals_match_counter_brute_force(ray_session, docs_ds):
             & (nat["dup_3gram_frac"] <= 0.30))).all()
 
 
+def test_rounding_matches_sql_round_on_ties(ray_session):
+    """Engine rounding must be half-away-from-zero (SQL ROUND), not
+    numpy's half-to-even — this exact tie (0.0703125 = 9/128, binary-
+    exact) is the CORRECTNESS_r03 doc_repetition hash failure: np.round
+    gives 0.070312, DuckDB ROUND gives 0.070313."""
+    import duckdb
+    import ray.data as rd
+    from medcat_ray.ops.numeric import round_half_away
+    ties = [0.0703125, 0.5e-6, 1.5e-6, 2.5e-6, 0.1234565, -0.0703125]
+    for v in ties:
+        sql = duckdb.sql(
+            f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6) AS r").fetchone()[0]
+        assert float(round_half_away(np.float64(v), 6)) == float(sql), v
+    # and end-to-end through add_repetition: 129 tokens = 128 bigrams,
+    # an 11-long "a" run gives exactly 9 repeated bigrams, the 118
+    # unique tail tokens give none -> dup_2gram_frac == 9/128 =
+    # 0.0703125 exactly (dyadic, binary-representable tie)
+    from medcat_ray.ops.textstats import add_repetition
+    body = " ".join(["a"] * 11 + [f"t{i}" for i in range(118)])
+    out = add_repetition(rd.from_items([{"doc_id": 0, "text": body}])) \
+        .to_pandas()
+    frac = out["dup_2gram_frac"].iloc[0]
+    sql = duckdb.sql(
+        "SELECT ROUND(CAST(9.0/128 AS DOUBLE), 6) AS r").fetchone()[0]
+    assert frac == float(sql) == 0.070313
+
+
 def test_top_bigrams_matches_counter(ray_session, docs_ds):
     from collections import Counter
     import pyarrow.parquet as pq
