@@ -117,12 +117,21 @@ class DocAnnotator:
         k = len(self._sim_types)
         M = np.zeros((n, k * dim), dtype=np.float64)
         self._sim_row: Dict[str, int] = {}
-        for r, (cui, ctxs) in enumerate(self._cui_unit_vectors.items()):
+        r = 0
+        for cui, ctxs in self._cui_unit_vectors.items():
+            # an EMPTY context-vector dict must stay off the matrix: the
+            # dict path returns -1.0 (ineligible) for it, and a zero row
+            # would instead score 0.0 and could flip a disambiguation
+            # argmax when all trained candidates score negative
+            if not ctxs:
+                continue
             self._sim_row[cui] = r
             for j, (t, w) in enumerate(self._sim_types):
                 v = ctxs.get(t)
                 if v is not None:
                     M[r, j * dim:(j + 1) * dim] = w * v
+            r += 1
+        M = M[:r]
         self._sim_matrix = M
         self._sim_dim = dim
 

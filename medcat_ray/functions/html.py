@@ -98,9 +98,19 @@ class _TextExtractor(HTMLParser):
 
 import re as _re
 from html import unescape as _unescape
-from html.parser import (tagfind_tolerant as _tagfind,
-                         locatestarttagend_tolerant as _locatestart,
-                         endtagfind as _endtagfind)
+
+try:
+    # CPython-private tolerant tag regexes: the fast scanner reuses them
+    # to guarantee recovery-semantics parity with HTMLParser.  If a future
+    # CPython renames/removes them, degrade to the authoritative
+    # HTMLParser path instead of failing the whole module import.
+    from html.parser import (tagfind_tolerant as _tagfind,
+                             locatestarttagend_tolerant as _locatestart,
+                             endtagfind as _endtagfind)
+    _HAVE_FAST = True
+except ImportError:            # pragma: no cover - interpreter-dependent
+    _tagfind = _locatestart = _endtagfind = None
+    _HAVE_FAST = False
 
 _COMMENT_CLOSE = _re.compile(r"--\s*>")
 _CDATA_TAGS = ("script", "style")   # HTMLParser.CDATA_CONTENT_ELEMENTS
@@ -255,12 +265,13 @@ def extract_text(html: "bytes | str") -> str:
     """Extract visible text from an HTML page.  Deterministic; see module doc."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    try:
-        fast = _fast_extract(html)
-        if fast is not None:
-            return fast
-    except Exception:
-        pass                    # pathological page → authoritative path
+    if _HAVE_FAST:
+        try:
+            fast = _fast_extract(html)
+            if fast is not None:
+                return fast
+        except Exception:
+            pass                # pathological page → authoritative path
     parser = _TextExtractor()
     try:
         parser.feed(html)

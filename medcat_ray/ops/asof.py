@@ -133,13 +133,30 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
             break
         cur = out.map_batches(_take_pending, batch_format="pandas")
 
-    result = done_parts[0]
-    for d in done_parts[1:]:
-        result = result.union(d)
-
     def _project(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop(columns=["__t", "__side", "__done"])
         return out.rename(columns={"__rt": "asof_time"})
+
+    if not done_parts:
+        # both inputs empty: the first pass breaks before any part is
+        # staged; emit an empty dataset with the projected LEFT schema
+        # (left columns + asof_time + asof_<col>s) instead of IndexError.
+        # An empty input yields no batches for map_batches, so build the
+        # empty frame on the driver from the (metadata-only) left schema.
+        import pyarrow as pa
+        sch = left.schema()
+        base = sch.base_schema
+        if not isinstance(base, pa.Schema):     # pandas-block dataset
+            base = pa.schema(list(zip(sch.names, sch.types)))
+        empty = base.empty_table().to_pandas()
+        empty["asof_time"] = pd.Series([], dtype="datetime64[us]")
+        for c in rcols:
+            empty[c] = pd.Series([], dtype=np.float64)
+        return rd.from_pandas(empty)
+
+    result = done_parts[0]
+    for d in done_parts[1:]:
+        result = result.union(d)
 
     return result.map_batches(_project, batch_format="pandas")
 

@@ -148,6 +148,16 @@ def span_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         for i, t in zip(ids, texts):
             pos, sh = _line_span_hashes(t, span)
             if len(pos):
+                if len(pos) + span - 1 >= _MAXPOS:
+                    # keeper keys pack position into the low 20 bits; a
+                    # doc past the bound would silently collide into
+                    # OTHER documents' keys and remove wrong lines —
+                    # fail loudly instead
+                    raise ValueError(
+                        f"span_dedup: document {i!r} has "
+                        f"{len(pos) + span - 1} lines, >= the 2^20 "
+                        f"lines-per-document bound of the keeper-key "
+                        f"encoding; split the document or raise _MAXPOS")
                 out_sh.append(sh.view(np.int64))
                 out_key.append(int(i) * _MAXPOS + pos)
         if out_sh:

@@ -132,3 +132,21 @@ def test_range_join_rejects_empty_band(ray_session):
         range_join(left, left, key="k", left_time="lt",
                    right_time="lt", lower=pd.Timedelta("1h"),
                    upper=pd.Timedelta("1h"))
+
+
+def test_asof_both_inputs_empty(ray_session):
+    """Both sides empty: must return an empty dataset with the projected
+    left schema (was IndexError on done_parts[0])."""
+    left = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                         "lt": pd.Series([], dtype="datetime64[us]"),
+                         "lid": pd.Series([], dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "rt": pd.Series([], dtype="datetime64[us]"),
+                          "v": pd.Series([], dtype=np.float64)})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="k", left_time="lt", right_time="rt",
+                    right_vals=["v"])
+    assert got.count() == 0
+    # Ray's to_pandas() drops columns on a 0-row dataset; the dataset
+    # schema is the stable contract
+    assert {"k", "lt", "lid", "asof_time", "asof_v"} <= set(got.schema().names)

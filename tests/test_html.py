@@ -115,3 +115,15 @@ def test_fast_extractor_handles_fixture_pages_without_bail():
                               t["text"].to_pylist()):
                 got = _fast_extract(h.decode("utf-8", errors="replace"))
                 assert got is not None and got == txt
+
+
+def test_extract_text_without_fast_scanner(monkeypatch):
+    """If CPython's private tolerant-tag regexes ever disappear, the
+    module must import and extract via the authoritative HTMLParser
+    path (gated by _HAVE_FAST) rather than fail."""
+    from medcat_ray.functions import html as h
+    page = "<html><body><p>Hello <b>world</b></p><script>x</script></body></html>"
+    monkeypatch.setattr(h, "_HAVE_FAST", False)
+    assert h.extract_text(page) == "Hello world"
+    monkeypatch.undo()
+    assert h.extract_text(page) == "Hello world"

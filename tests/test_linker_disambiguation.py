@@ -124,3 +124,24 @@ def test_dynamic_threshold():
     ents = ann.annotate("alpha amber probe apple alpha")
     # A wins with sim < 0.99 → dynamic threshold rejects
     assert ents == []
+
+
+def test_empty_context_dict_stays_ineligible_in_matrix_path():
+    """A CUI whose context-vector dict is EMPTY must score -1.0
+    (ineligible) in the vectorized matrix path exactly as in the dict
+    fallback — a zero matrix row would score 0.0 and could flip the
+    disambiguation argmax when all trained candidates score negative."""
+    cdb, vocab = build_ambiguous_world()
+    # trained but with NO context vectors of any size
+    cdb.add_concept("CUI-C", prepare_name("probe", CFG), name_status="A")
+    cdb.set_context_vectors("CUI-C", {}, count_train=10)
+    ann = DocAnnotator(cdb, vocab, CFG)
+    assert ann._sim_matrix is not None      # matrix path active
+    uv = ann._unit_context(
+        dict.fromkeys(CFG.context_vector_sizes,
+                      -np.ones(DIM) / np.sqrt(DIM)))
+    cuis = ["CUI-A", "CUI-B", "CUI-C"]
+    many = ann._similarity_many(cuis, uv)
+    single = np.array([ann._similarity(c, uv) for c in cuis])
+    np.testing.assert_allclose(many, single)
+    assert many[2] == -1.0

@@ -1,5 +1,6 @@
 """Unit tests for ops/textclean.py (C4-style line cleaning)."""
 
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -140,3 +141,27 @@ def test_split_sentences(ray_session):
     # abbreviation heuristics) — defined, documented behavior
     assert out[out.doc_id == 2].sentence.tolist() == \
         ["only.", "a.", "run..."]
+
+
+def test_span_dedup_rejects_over_maxpos_doc(ray_session):
+    """A document with >= 2^20 lines would silently collide keeper keys
+    into other documents; the bound must fail loudly instead."""
+    import ray.data as rd
+    from medcat_ray.ops import textclean
+
+    orig = textclean._MAXPOS
+    textclean._MAXPOS = 64            # shrink the bound for the test
+    try:
+        big = "\n".join(f"line {i}" for i in range(80))
+        ds = rd.from_items([{"doc_id": 1, "text": big}])
+        with pytest.raises(Exception) as ei:
+            textclean.span_dedup(ds, method="broadcast").to_pandas()
+        assert "lines-per-document bound" in str(ei.value)
+        # under the bound: same pipeline succeeds
+        small = "\n".join(f"line {i}" for i in range(40))
+        out = textclean.span_dedup(
+            rd.from_items([{"doc_id": 1, "text": small}]),
+            method="broadcast").to_pandas()
+        assert out["n_removed_lines"].iloc[0] == 0
+    finally:
+        textclean._MAXPOS = orig
