@@ -217,12 +217,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def jaccard_verified_dups(sf_dir):
         """Composed dedup pipeline: MinHash-LSH candidate clusters →
         (member, rep) pairs → exact n-gram-Jaccard verification through
-        the join-based distributed path.  Oracle-checked: DuckDB re-runs
-        the full LSH arithmetic AND rescoring (ops/sql_oracle.py)."""
+        the AUTO-GATED verify (broadcast below the volume limit, the
+        two-join distributed path above it).  Oracle-checked: DuckDB
+        re-runs the full LSH arithmetic AND rescoring (ops/sql_oracle.py)."""
         import pyarrow as pa
         import ray.data as rd
         from medcat_ray.ops.dedup import (minhash_dedup_clusters,
-                                          verify_pairs_jaccard_distributed)
+                                          verify_pairs_jaccard)
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         clusters = minhash_dedup_clusters(docs, concurrency=2)
@@ -235,8 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "id_b": nonrep["doc_id"]})
 
         pairs = clusters.map_batches(to_pairs, batch_format="pyarrow")
-        out = verify_pairs_jaccard_distributed(
-            pairs, docs, threshold=0.5).to_pandas()
+        out = verify_pairs_jaccard(pairs, docs, threshold=0.5).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def _plant_dedup_corpus(sf_dir):
@@ -280,13 +280,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def jaccard_verify_pairs(sf_dir):
         """Exact n-gram-Jaccard scores for a deterministic candidate-pair
         set ((doc_id, doc_id+1) for doc_id % 20 == 0) through the
-        distributed two-join verify path — the verification math itself is
-        SQL-checked (DuckDB recomputes the 5-char-shingle Jaccard over the
-        natural texts; hashed vs plain shingles agree absent 64-bit
-        collisions)."""
+        AUTO-GATED verify (method="distributed" forced here so the
+        two-join scale path stays driver-exercised) — the verification
+        math itself is SQL-checked (DuckDB recomputes the 5-char-shingle
+        Jaccard over the natural texts; hashed vs plain shingles agree
+        absent 64-bit collisions)."""
         import pyarrow as pa
         import ray.data as rd
-        from medcat_ray.ops.dedup import verify_pairs_jaccard_distributed
+        from medcat_ray.ops.dedup import verify_pairs_jaccard
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
@@ -297,8 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                               type=pa.int64())})
 
         pairs = docs.map_batches(mkpairs, batch_format="pyarrow")
-        out = verify_pairs_jaccard_distributed(
-            pairs, docs, threshold=0.0).to_pandas()
+        out = verify_pairs_jaccard(pairs, docs, threshold=0.0,
+                                   method="distributed").to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def embedding_near_dup_pairs(sf_dir):

@@ -678,13 +678,30 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def verify_pairs_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                          threshold: float = 0.8, k: int = 5,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> rd.Dataset:
+                         text_col: str = "text", method: str = "auto",
+                         broadcast_limit: int = 1_000_000,
+                         num_partitions: Optional[int] = None) -> rd.Dataset:
     """Filter candidate pairs by exact Jaccard.
 
-    The texts of candidate ids are broadcast (candidates ≪ corpus); at
-    larger candidate volumes this becomes a bucket-join on id — noted in
-    the module docstring."""
+    Two paths, auto-gated on the measured candidate volume exactly like
+    :func:`exact_dedup`:
+
+    * ``broadcast``: the pair list comes to the driver and the needed
+      texts are fetched by a broadcast id probe — fastest while the
+      candidate set is small;
+    * ``distributed``: :func:`verify_pairs_jaccard_distributed` — texts
+      reach their pairs via two hash joins, nothing pair- or corpus-sized
+      ever lands on the driver (the 30-50%-dup-rate × 10^12-doc path);
+    * ``auto`` (default): counts the pair table and picks."""
     import ray
+    if method == "auto":
+        pairs = pairs.materialize()
+        method = "broadcast" if pairs.count() <= broadcast_limit \
+            else "distributed"
+    if method == "distributed":
+        return verify_pairs_jaccard_distributed(
+            pairs, docs, threshold=threshold, k=k, id_col=id_col,
+            text_col=text_col, num_partitions=num_partitions)
     pair_rows = pairs.to_pandas()
     need = np.unique(np.concatenate([pair_rows["id_a"].to_numpy(),
                                      pair_rows["id_b"].to_numpy()])) \
@@ -775,7 +792,9 @@ def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
                         n_planes: int = 16, n_tables: int = 4,
                         max_bucket: int = 512, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        seed: int = 3) -> rd.Dataset:
+                        seed: int = 3, method: str = "auto",
+                        broadcast_limit: int = 1_000_000,
+                        num_partitions: Optional[int] = None) -> rd.Dataset:
     """Cosine near-duplicate pairs via multi-table random-hyperplane LSH.
 
     ``n_tables`` independent hash tables of ``n_planes`` sign bits each;
@@ -787,7 +806,14 @@ def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
     bucket larger than ``max_bucket`` (the whole-bucket dense matmul never
     exceeds max_bucket²).  Singleton buckets are pruned by a NATIVE
     groupby-count before any per-group Python runs, so the pair stage
-    touches only colliding buckets (volume ∝ near-dup rate)."""
+    touches only colliding buckets (volume ∝ near-dup rate).
+
+    The hot-bucket set itself is volume ∝ near-dup rate, so it is
+    auto-gated like :func:`exact_dedup`: below ``broadcast_limit`` it is
+    ``ray.put`` once and probed per batch (``method="broadcast"``); above
+    it stays in the object store and reaches the stream through one inner
+    hash join on the bucket key (``method="join"``) — nothing
+    near-dup-rate-sized ever lands on the driver."""
     import ray
     from ray.data.aggregate import Max
 
@@ -810,9 +836,13 @@ def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
             keys[t] = (signs.astype(np.uint64) << shifts).sum(axis=1) \
                 | (np.uint64(t) << np.uint64(n_planes))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # bucket keys bit-wrapped to int64 (bijective) like
+        # add_content_hash: int64 stays native through Ray's hash
+        # aggregate AND is joinable on the distributed hot-bucket path
         return pa.table({
             id_col: pa.array(np.tile(ids, n_tables)),
-            "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
+            "bucket": pa.array(keys.reshape(-1).view(np.int64),
+                               type=pa.int64()),
             vec_col: pa.concat_arrays(
                 [batch[vec_col].combine_chunks()] * n_tables),
         })
@@ -823,27 +853,60 @@ def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
     def non_singleton(batch: pa.Table) -> pa.Table:
         return batch.select(["bucket"]).filter(pc.greater(batch["n"], 1))
 
-    hot = counts.map_batches(non_singleton,
-                             batch_format="pyarrow").to_pandas()
-    hot_arr = np.array([], dtype=np.uint64) if hot.empty \
-        else np.sort(hot["bucket"].to_numpy().astype(np.uint64))
-    hot_ref = ray.put(hot_arr)
+    hot_ds = counts.map_batches(non_singleton, batch_format="pyarrow")
+    if method == "auto":
+        hot_ds = hot_ds.materialize()
+        method = "broadcast" if hot_ds.count() <= broadcast_limit \
+            else "join"
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hot_sorted = ray.get(hot_ref)
-        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        if len(hot_sorted) == 0:
-            mask = np.zeros(len(b), dtype=bool)
-        else:
-            idx = np.minimum(np.searchsorted(hot_sorted, b),
-                             len(hot_sorted) - 1)
-            mask = hot_sorted[idx] == b
-        return batch.filter(pa.array(mask))
+    if method == "join":
+        p = _join_partitions(num_partitions)
+
+        # Arrow's hash join rejects list-typed non-key fields — pack the
+        # vector to a float64 binary blob for the join, decoded by
+        # bucket_cosine_pairs (np.frombuffer, zero-copy)
+        def pack_vec(batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            return pa.table({
+                id_col: batch[id_col],
+                "bucket": batch["bucket"],
+                vec_col: pa.array([v.tobytes() for v in vecs],
+                                  type=pa.binary()),
+            })
+
+        packed = bucketed.map_batches(pack_vec, batch_format="pyarrow")
+        # repartition rebuilds the groupby's schema-less empty blocks
+        # (Ray 2.49 join-finalize crash, see _propagate_labels)
+        hot_rows = packed.join(hot_ds.repartition(p), join_type="inner",
+                               num_partitions=p, on=("bucket",))
+    else:
+        hot = hot_ds.to_pandas()
+        hot_arr = np.array([], dtype=np.int64) if hot.empty \
+            else np.sort(hot["bucket"].to_numpy().astype(np.int64))
+        hot_ref = ray.put(hot_arr)
+
+        def keep_hot(batch: pa.Table) -> pa.Table:
+            hot_sorted = ray.get(hot_ref)
+            b = batch["bucket"].to_numpy(zero_copy_only=False)
+            if len(hot_sorted) == 0:
+                mask = np.zeros(len(b), dtype=bool)
+            else:
+                idx = np.minimum(np.searchsorted(hot_sorted, b),
+                                 len(hot_sorted) - 1)
+                mask = hot_sorted[idx] == b
+            return batch.filter(pa.array(mask))
+
+        hot_rows = bucketed.map_batches(keep_hot, batch_format="pyarrow")
 
     def bucket_cosine_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
-        V = np.array(g[vec_col].tolist(), dtype=np.float64)
+        cells = g[vec_col].tolist()
+        if cells and isinstance(cells[0], (bytes, bytearray)):
+            V = np.stack([np.frombuffer(c, dtype=np.float64)
+                          for c in cells])
+        else:
+            V = np.array(cells, dtype=np.float64)
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         U = V / norms[:, None]
@@ -877,9 +940,8 @@ def embedding_near_dups(ds: rd.Dataset, threshold: float = 0.95,
             "id_b": np.asarray(out_b, dtype=ids.dtype),
             "cosine": np.asarray(out_c, dtype=np.float64)})
 
-    pairs = bucketed.map_batches(keep_hot, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_cosine_pairs,
-                                      batch_format="pandas")
+    pairs = hot_rows.groupby("bucket").map_groups(bucket_cosine_pairs,
+                                                  batch_format="pandas")
     # the same pair can collide in several tables → distinct
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine"))

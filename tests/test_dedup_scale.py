@@ -251,6 +251,56 @@ def test_jaccard_verify_distributed_matches_broadcast(ray_session):
     assert (1, 2) in {(r.id_a, r.id_b) for r in bc.itertuples()}
 
 
+def test_jaccard_verify_auto_gate_both_branches(ray_session):
+    """The auto gate routes small pair tables to broadcast and large ones
+    (broadcast_limit=0 forces it) to the distributed twin — equal outputs."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import verify_pairs_jaccard
+    a = "shared prefix of reasonable length for shingling purposes " * 4
+    docs = rd.from_items([
+        {"doc_id": 1, "text": a},
+        {"doc_id": 2, "text": a + "tail"},
+        {"doc_id": 3, "text": "unrelated words here entirely different"},
+        {"doc_id": 4, "text": a + " extra shared suffix"},
+    ])
+
+    def mkpairs():
+        return rd.from_items([{"id_a": 1, "id_b": 2}, {"id_a": 1, "id_b": 3},
+                              {"id_a": 2, "id_b": 4}])
+
+    bc = verify_pairs_jaccard(mkpairs(), docs, threshold=0.8).to_pandas()
+    dist = verify_pairs_jaccard(mkpairs(), docs, threshold=0.8,
+                                broadcast_limit=0).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]]
+                                .values.tolist()))
+    assert key(bc) == key(dist)
+    assert (1, 2) in {(r.id_a, r.id_b) for r in bc.itertuples()}
+
+
+def test_embedding_near_dups_join_path_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the distributed hot-bucket join; outputs
+    must equal the broadcast path on the planted-scaled-copy fixture."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    n, dim, planted = 60, 32, 8
+    V = rng.normal(size=(n, dim))
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(n)]
+    rows += [{"vec_id": 1000 + i, "embedding": (2.0 * V[i]).tolist()}
+             for i in range(planted)]
+
+    bc = embedding_near_dups(rd.from_items(rows), threshold=0.95,
+                             method="broadcast").to_pandas()
+    jn = embedding_near_dups(rd.from_items(rows), threshold=0.95,
+                             broadcast_limit=0).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "cosine"]]
+                                .values.tolist()))
+    assert key(bc) == key(jn)
+    got = {(int(r.id_a), int(r.id_b)) for r in jn.itertuples()}
+    assert {(i, 1000 + i) for i in range(planted)} <= got
+
+
 # ---------------------------------------------------------------------------
 # IVF write-time partitioned index: read-time pruning + recall
 # ---------------------------------------------------------------------------
