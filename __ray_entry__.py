@@ -1217,6 +1217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": docs_kg.kg_entities,
         "kg_entities_hard": docs_kg.kg_entities_hard,
         "kg_entities_spell": docs_kg.kg_entities_spell,
+        "kg_entities_lemma": docs_kg.kg_entities_lemma,
+        "kg_entities_lemma_gated": docs_kg.kg_entities_lemma_gated,
         "kg_triple_counts_hard": docs_kg.kg_triple_counts_hard,
         "kg_mentions": docs_kg.kg_mentions,
         "kg_triples": lambda sf: docs_kg.kg_triples(sf),
@@ -1566,11 +1568,15 @@ FROM counts
                                               typed_triples_oracle_sql)
     from medcat_ray.pipelines.docs_kg import (hard_entities_oracle_sql,
                                               hard_triple_counts_oracle_sql,
+                                              lemma_entities_oracle_sql,
+                                              lemma_gated_entities_oracle_sql,
                                               spell_entities_oracle_sql)
     return {
         "kg_entities": entities_oracle_sql(),
         "kg_entities_hard": hard_entities_oracle_sql(),
         "kg_entities_spell": spell_entities_oracle_sql(),
+        "kg_entities_lemma": lemma_entities_oracle_sql(),
+        "kg_entities_lemma_gated": lemma_gated_entities_oracle_sql(),
         "kg_triple_counts_hard": hard_triple_counts_oracle_sql(),
         "kg_mentions": mentions_oracle_sql(),
         "kg_triples": kg_triples_sql,

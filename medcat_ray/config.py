@@ -37,6 +37,15 @@ class EngineConfig:
     keep_punct: FrozenSet[str] = frozenset({".", ":"})          # config.py:405
     skip_stopwords: bool = False                                 # config.py:412
     min_len_normalize: int = 5                                   # config.py:414
+    # POS tags whose tokens keep their surface form instead of the lemma
+    # (config.py:407; consulted by both the normalizer,
+    # utils/normalizers.py:185-187, and name cleaning,
+    # preprocessing/cleaners.py:43-44).  The reference's own
+    # lemmatization-sensitive test configs empty this set; here the
+    # deterministic ``morph_tag`` stands in for spaCy's statistical tagger
+    # (documented deviation, SURVEY.md §7.4).
+    do_not_normalize: FrozenSet[str] = frozenset(
+        {"VBD", "VBG", "VBN", "VBP", "JJS", "JJR"})              # config.py:407
 
     # --- cdb_maker (medcat/config.py:278-290) ---
     name_versions: Tuple[str, ...] = ("LOWER", "CLEAN")          # config.py:280

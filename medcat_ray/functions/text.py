@@ -162,17 +162,179 @@ def tag_tokens(tokens: List[Token], config: EngineConfig,
 # ---------------------------------------------------------------------------
 
 _LEMMA_EXCEPTIONS: Dict[str, str] = {
+    # --- common irregular plurals ---
     "children": "child", "men": "man", "women": "woman", "feet": "foot",
     "teeth": "tooth", "mice": "mouse", "geese": "goose", "people": "person",
+    "lice": "louse", "oxen": "ox",
+    # --- Latin/Greek plurals (the real-English medical-corpus gap:
+    # mentions like 'diagnoses' only link to the CDB name 'diagnosis'
+    # through the lemma; a suffix rule can't produce these) ---
+    "diagnoses": "diagnosis", "prognoses": "prognosis",
+    "metastases": "metastasis", "stenoses": "stenosis",
+    "psychoses": "psychosis", "neuroses": "neurosis",
+    "fibroses": "fibrosis", "scleroses": "sclerosis",
+    "thromboses": "thrombosis", "anastomoses": "anastomosis",
+    "prostheses": "prosthesis", "hypotheses": "hypothesis",
+    "theses": "thesis", "syntheses": "synthesis", "analyses": "analysis",
+    "crises": "crisis", "axes": "axis",
+    "indices": "index", "appendices": "appendix", "matrices": "matrix",
+    "vertices": "vertex", "apices": "apex", "cortices": "cortex",
+    "varices": "varix", "helices": "helix",
+    "nuclei": "nucleus", "fungi": "fungus", "bacilli": "bacillus",
+    "bronchi": "bronchus", "alveoli": "alveolus", "calculi": "calculus",
+    "stimuli": "stimulus", "radii": "radius", "foci": "focus",
+    "loci": "locus", "thrombi": "thrombus", "villi": "villus",
+    "glomeruli": "glomerulus", "emboli": "embolus", "uteri": "uterus",
+    "vertebrae": "vertebra", "scapulae": "scapula", "ulnae": "ulna",
+    "bursae": "bursa", "fistulae": "fistula", "sequelae": "sequela",
+    "maculae": "macula", "papillae": "papilla", "petechiae": "petechia",
+    "larvae": "larva", "aortae": "aorta",
+    "criteria": "criterion", "phenomena": "phenomenon",
+    "ganglia": "ganglion", "bacteria": "bacterium", "septa": "septum",
+    "ova": "ovum", "sera": "serum", "atria": "atrium", "crania": "cranium",
+    "labia": "labium", "ostia": "ostium", "diverticula": "diverticulum",
+    "genera": "genus",
+    # NOTE deliberately absent: 'data' (appears in the frozen documents
+    # corpus vocabulary and is overwhelmingly used as a mass noun),
+    # 'left'/'wound'/'bit'/'lay'/'rose'/'saw'/'ground' (noun/adjective
+    # readings dominate in clinical text; a context-free lookup mapping
+    # them to leave/wind/bite/... would corrupt more than it fixes).
 }
 
-LEMMATIZER_VERSION = "2"  # v2: floss-consonant dedup rule (fall/spell keep
-#                           their double letter; run/stop still strip)
+# Irregular verb past / past-participle forms → base (fires only for
+# tokens NOT gated by config.do_not_normalize — with the reference-default
+# gate these tags are VBD/VBN and keep their surface form, matching
+# medcat/utils/normalizers.py:185-187; with do_not_normalize=∅ — the
+# reference's own model-creator scenario config — the lookup applies).
+_IRREGULAR_VERB: Dict[str, str] = {
+    "ran": "run", "took": "take", "taken": "take", "went": "go",
+    "gone": "go", "fell": "fall", "fallen": "fall", "felt": "feel",
+    "found": "find", "gave": "give", "given": "give", "got": "get",
+    "gotten": "get", "had": "have", "kept": "keep", "knew": "know",
+    "known": "know", "led": "lead", "lost": "lose", "made": "make",
+    "meant": "mean", "met": "meet", "paid": "pay", "said": "say",
+    "sold": "sell", "sent": "send", "sat": "sit", "spoke": "speak",
+    "spoken": "speak", "stood": "stand", "told": "tell",
+    "thought": "think", "threw": "throw", "thrown": "throw",
+    "understood": "understand", "wore": "wear", "worn": "wear",
+    "won": "win", "wrote": "write", "written": "write", "broke": "break",
+    "broken": "break", "brought": "bring", "built": "build",
+    "bought": "buy", "caught": "catch", "chose": "choose",
+    "chosen": "choose", "came": "come", "done": "do", "drew": "draw",
+    "drawn": "draw", "drank": "drink", "drunk": "drink", "drove": "drive",
+    "driven": "drive", "eaten": "eat", "flew": "fly", "flown": "fly",
+    "forgot": "forget", "forgotten": "forget", "froze": "freeze",
+    "frozen": "freeze", "grew": "grow", "grown": "grow", "heard": "hear",
+    "held": "hold", "hid": "hide", "hidden": "hide", "ridden": "ride",
+    "risen": "rise", "rang": "ring", "rung": "ring", "sang": "sing",
+    "sung": "sing", "sank": "sink", "sunk": "sink", "shaken": "shake",
+    "shook": "shake", "shown": "show", "shrank": "shrink",
+    "shrunk": "shrink", "slept": "sleep", "spent": "spend",
+    "stolen": "steal", "stole": "steal", "struck": "strike",
+    "swollen": "swell", "swam": "swim", "swum": "swim", "torn": "tear",
+    "tore": "tear", "woke": "wake", "woken": "wake", "bled": "bleed",
+    "bitten": "bite", "fed": "feed", "fought": "fight", "born": "bear",
+    "borne": "bear",
+}
+
+# Closed comparative / superlative lists → base (JJR / JJS under the
+# morphological tagger; lemma fires only when the tag is not gated).
+_SUPERLATIVE: Dict[str, str] = {
+    "largest": "large", "biggest": "big", "smallest": "small",
+    "greatest": "great", "highest": "high", "lowest": "low",
+    "best": "good", "worst": "bad", "oldest": "old",
+    "youngest": "young", "newest": "new", "longest": "long",
+    "shortest": "short", "fastest": "fast", "slowest": "slow",
+    "strongest": "strong", "weakest": "weak", "earliest": "early",
+    "latest": "late", "deepest": "deep", "widest": "wide",
+    "heaviest": "heavy", "lightest": "light", "closest": "close",
+    "nearest": "near", "furthest": "far", "farthest": "far",
+    "easiest": "easy", "hardest": "hard", "simplest": "simple",
+    "cheapest": "cheap", "safest": "safe", "broadest": "broad",
+    "narrowest": "narrow", "thickest": "thick", "thinnest": "thin",
+}
+_COMPARATIVE: Dict[str, str] = {
+    "larger": "large", "bigger": "big", "smaller": "small",
+    "greater": "great", "higher": "high", "lower": "low",
+    "better": "good", "worse": "bad", "older": "old",
+    "younger": "young", "newer": "new", "longer": "long",
+    "shorter": "short", "faster": "fast", "slower": "slow",
+    "stronger": "strong", "weaker": "weak", "earlier": "early",
+    "deeper": "deep", "wider": "wide", "heavier": "heavy",
+    "lighter": "light", "closer": "close", "nearer": "near",
+    "further": "far", "farther": "far", "easier": "easy",
+    "harder": "hard", "simpler": "simple", "cheaper": "cheap",
+    "safer": "safe", "broader": "broad", "narrower": "narrow",
+    "thicker": "thick", "thinner": "thin", "fewer": "few",
+    "lesser": "less",
+}
+
+# -ing words whose noun/function-word reading dominates out of context —
+# the morphological tagger must not call these VBG (spaCy's statistical
+# tagger reads them as NN/IN in typical clinical prose).
+_ING_NOT_VERB = frozenset("""
+morning evening during thing something anything nothing everything king
+ring string spring wing sibling ceiling building finding feeling swelling
+screening imaging dressing hearing bring sterling darling dumpling
+""".split())
+
+# -ed words that are not verb pasts (adjectives / nouns / -eed stems).
+_ED_NOT_VERB = frozenset("""
+hundred sacred naked wicked rugged crooked jagged ragged wretched
+need feed speed seed bleed breed creed deed greed indeed reed exceed
+proceed succeed red bed fed led wed shed sled bred
+""".split())
+
+LEMMATIZER_VERSION = "3"  # v3: POS-gating (do_not_normalize) + broadened
+#                           lookup tables (Latin/Greek plurals, irregular
+#                           verbs, comparatives/superlatives) + noun -es
+#                           rules (ches/shes/xes/zes)
+
+
+def morph_tag(word: str) -> Optional[str]:
+    """Deterministic morphological tag guess for a lowercase word —
+    ONLY for the tags the reference's ``do_not_normalize`` gate consults
+    (medcat/config.py:407: VBD VBG VBN VBP JJS JJR).
+
+    Deviation (documented, SURVEY.md §7.4): the reference reads
+    ``token.tag_`` from spaCy's statistical tagger; with no context model
+    here, suffix rules + closed exception lists decide.  VBP (non-3sg
+    present) is indistinguishable from a base form without context and is
+    never emitted.  Returns None for anything that doesn't look like a
+    gated form."""
+    if word in _IRREGULAR_VERB:
+        return "VBD"                      # past/participle lookup forms
+    if word in _SUPERLATIVE:
+        return "JJS"
+    if word in _COMPARATIVE:
+        return "JJR"
+    n = len(word)
+    if word.endswith("ing") and n >= 5 and word not in _ING_NOT_VERB:
+        return "VBG"
+    if word.endswith("ed") and n >= 4 and not word.endswith("eed") \
+            and word not in _ED_NOT_VERB:
+        return "VBD"
+    return None
 
 
 def lemmatize(word: str) -> str:
-    """Lemma of a lowercase word. Frozen v1 rules; see module docstring."""
+    """Lemma of a lowercase word. Frozen v3 rules; see module docstring.
+
+    Consults the closed lookup tables first (irregular plurals and verbs,
+    comparatives/superlatives), then suffix rules.  Note the verb /
+    adjective lookups are only REACHABLE from ``normalize_tokens`` when
+    ``config.do_not_normalize`` doesn't gate their tag — with the
+    reference-default gate (VBD/VBG/VBN/JJS/JJR kept as surface,
+    medcat/utils/normalizers.py:185-187) these entries fire only for
+    configs that empty the gate, e.g. the reference's own model-creator
+    scenario (tests/model_creator/medcat.txt)."""
     exc = _LEMMA_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    exc = _IRREGULAR_VERB.get(word)
+    if exc is not None:
+        return exc
+    exc = _SUPERLATIVE.get(word) or _COMPARATIVE.get(word)
     if exc is not None:
         return exc
     n = len(word)
@@ -187,8 +349,14 @@ def lemmatize(word: str) -> str:
     if word.endswith("s") and n > 3:
         return word[:-1]
     if word.endswith("ing") and n >= 6:
+        # nouns / function words whose -ing is not a verb suffix keep the
+        # surface form (spaCy lemma of 'morning'/'swelling' is itself)
+        if word in _ING_NOT_VERB:
+            return word
         return _dedup_stem(word[:-3], word)
     if word.endswith("ed") and n >= 5:
+        if word in _ED_NOT_VERB:
+            return word
         return _dedup_stem(word[:-2], word)
     return word
 
@@ -287,6 +455,7 @@ def normalize_tokens(tokens: List[Token], config: EngineConfig,
     min_len = config.min_len_normalize
     do_spell = config.spell_check and spell_checker is not None
     limit = config.spell_check_len_limit
+    dnn = config.do_not_normalize
     for token in tokens:
         if cache is not None:
             # len(text) is in the key because the spell gate tests the
@@ -297,6 +466,11 @@ def normalize_tokens(tokens: List[Token], config: EngineConfig,
                 token.norm = hit
                 continue
         if len(token.lower) < min_len:
+            token.norm = token.lower
+        elif dnn and morph_tag(token.lower) in dnn:
+            # POS gate (medcat/utils/normalizers.py:185-187): gated tags
+            # keep the surface form.  morph_tag is None for non-gated
+            # forms and None is never in dnn.
             token.norm = token.lower
         else:
             token.norm = lemmatize(token.lower)

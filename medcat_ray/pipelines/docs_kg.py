@@ -387,6 +387,148 @@ SELECT doc_id, start_pos, end_pos, cui, source_value FROM singles
 """
 
 
+# ---------------------------------------------------------------------------
+# LEMMA concept space (M4 on real inflected English): the CDB stores BASE
+# forms only; the corpus is planted with INFLECTED mentions that link solely
+# through token normalization — the reference's TestLemmatization scenario
+# (tests/test_entity_linking.py:69-89, "falling" → Fall) replayed as an
+# exact SQL oracle.  Two configs exercise both sides of the POS gate
+# (medcat/utils/normalizers.py:185-187, medcat/config.py:407):
+#   * kg_entities_lemma        — do_not_normalize = ∅ (the reference's own
+#     model-creator scenario config, tests/model_creator/medcat.txt): every
+#     planted form lemmatizes and links;
+#   * kg_entities_lemma_gated  — reference-DEFAULT gate: VBG/VBD/JJS forms
+#     ('falling', 'taken', 'highest') keep their surface form and must NOT
+#     link, while the un-gated Latin plurals still do.
+# Exactly SQL-expressible because the lemma of each planted form is a
+# compile-time constant and the natural corpus vocabulary (31 closed words)
+# contains no token that lemmatizes into any LEMMA_CONCEPTS name.
+# ---------------------------------------------------------------------------
+
+LEMMA_CONFIG = EngineConfig(spell_check=False,
+                            do_not_normalize=frozenset())
+LEMMA_GATED_CONFIG = EngineConfig(spell_check=False)   # default POS gate
+
+LEMMA_CONCEPTS: Dict[str, str] = {
+    "diagnosis": "C0000601",   # Latin -es plural (lookup table)
+    "matrix": "C0000602",      # -ices plural
+    "vertebra": "C0000603",    # -ae plural
+    "fall": "C0000604",        # -ing suffix rule (floss double kept)
+    "take": "C0000605",        # irregular past participle
+    "high": "C0000606",        # superlative
+}
+# planted surface form -> base name it must lemmatize to
+_LEMMA_PLANT: Tuple[Tuple[str, str], ...] = (
+    ("diagnoses", "diagnosis"), ("matrices", "matrix"),
+    ("vertebrae", "vertebra"), ("falling", "fall"),
+    ("taken", "take"), ("highest", "high"),
+)
+# forms whose morph_tag is in the default do_not_normalize gate — under
+# LEMMA_GATED_CONFIG these keep their surface form and do not link
+_LEMMA_GATED_FORMS = frozenset({"falling", "taken", "highest"})
+
+
+def docs_cdb_lemma(config: EngineConfig) -> Tuple[CDB, Vocab]:
+    cdb = CDB(config)
+    for name, cui in sorted(LEMMA_CONCEPTS.items()):
+        cdb.add_concept(cui, prepare_name(name, config),
+                        name_status="P", type_ids={"T_OBJ"})
+    return cdb, Vocab()
+
+
+def _plant_lemma_tokens(batch: pa.Table) -> pa.Table:
+    """Docs with ≥ 7 tokens get tokens 1-6 replaced by the six planted
+    inflected forms (mirrored verbatim in the oracle SQL)."""
+    planted = [w for w, _ in _LEMMA_PLANT]
+    out = []
+    for t in batch["text"].to_pylist():
+        toks = t.split(" ")
+        if len(toks) >= 7:
+            toks[0:6] = planted
+        out.append(" ".join(toks))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pa.array(out, type=pa.string())})
+
+
+def _kg_entities_lemma(sf_dir: str, config: EngineConfig) -> rd.Dataset:
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]) \
+        .map_batches(_plant_lemma_tokens, batch_format="pyarrow")
+    cdb, vocab = docs_cdb_lemma(config)
+    ann = kg.annotate(docs, (cdb, vocab), config,
+                      concurrency=2, batch_size=128, key_column="doc_id")
+    ents = kg.entities(ann, key_column="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "start_pos": batch["start"],
+            "end_pos": batch["end"],
+            "cui": batch["cui"],
+            "source_value": batch["source_value"],
+        })
+    return ents.map_batches(project, batch_format="pyarrow")
+
+
+def kg_entities_lemma(sf_dir: str) -> rd.Dataset:
+    """Entities over the lemma-planted corpus, POS gate emptied: every
+    inflected mention links to its base-form concept through the
+    normalizer (ref tests/test_entity_linking.py:81-84)."""
+    return _kg_entities_lemma(sf_dir, LEMMA_CONFIG)
+
+
+def kg_entities_lemma_gated(sf_dir: str) -> rd.Dataset:
+    """Same corpus under the reference-DEFAULT ``do_not_normalize`` gate:
+    VBG/VBD/JJS surface forms are kept un-normalized (so 'falling',
+    'taken', 'highest' do NOT link); un-gated Latin plurals still do."""
+    return _kg_entities_lemma(sf_dir, LEMMA_GATED_CONFIG)
+
+
+def _lemma_oracle_sql(gated: bool) -> str:
+    link = [(w, LEMMA_CONCEPTS[base]) for w, base in _LEMMA_PLANT
+            if not (gated and w in _LEMMA_GATED_FORMS)]
+    rows = ", ".join(f"('{w}', '{c}')" for w, c in sorted(link))
+    plant_list = ", ".join(f"'{w}'" for w, _ in _LEMMA_PLANT)
+    return f"""
+WITH orig AS (
+  SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents
+), tr AS (
+  SELECT doc_id, CASE WHEN len(toks0) >= 7
+      THEN list_concat([{plant_list}], toks0[7:])
+      ELSE toks0 END AS toks
+  FROM orig
+), tokd AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM tr
+), pos AS (
+  SELECT doc_id, tok, i,
+         CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS start_pos
+  FROM tokd
+)
+SELECT p.doc_id, p.start_pos,
+       CAST(p.start_pos + length(p.tok) AS INT) AS end_pos,
+       m.cui, p.tok AS source_value
+FROM pos p
+JOIN (VALUES {rows}) AS m(name, cui) ON p.tok = m.name
+"""
+
+
+def lemma_entities_oracle_sql() -> str:
+    """DuckDB oracle for :func:`kg_entities_lemma`: the planted-form →
+    CUI map is a compile-time constant (each lemma is frozen), so entities
+    are exactly the planted token positions."""
+    return _lemma_oracle_sql(gated=False)
+
+
+def lemma_gated_entities_oracle_sql() -> str:
+    """DuckDB oracle for :func:`kg_entities_lemma_gated`: the gated forms
+    drop out of the link map."""
+    return _lemma_oracle_sql(gated=True)
+
+
 def _annotated(sf_dir: str, concurrency=2, batch_size: int = 128):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from medcat_ray.config import EngineConfig, weighted_average
-from medcat_ray.functions.text import lemmatize, tag_tokens, tokenize
+from medcat_ray.functions.text import lemmatize, morph_tag, tag_tokens, tokenize
 
 _ONLY_LETTERS = re.compile(r"[^A-Za-z]*")
 
@@ -50,7 +50,13 @@ def prepare_name(raw_name: str, config: EngineConfig,
         if version == "LOWER":
             tokens = [t.lower for t in kept]
         elif version == "CLEAN":
-            tokens = [t.lower if len(t.lower) < config.min_len_normalize
+            # POS gate mirrors preprocessing/cleaners.py:41-46: short and
+            # gated-tag tokens keep the surface form, others the lemma —
+            # identical to the annotation-side normalizer so CLEAN names
+            # and normalized mentions stay in the same key space.
+            dnn = config.do_not_normalize
+            tokens = [t.lower if (len(t.lower) < config.min_len_normalize
+                                  or (dnn and morph_tag(t.lower) in dnn))
                       else lemmatize(t.lower) for t in kept]
         else:
             continue

@@ -54,7 +54,12 @@ CORPUS = [
 ]
 
 CFG = EngineConfig(diacritics=True, check_upper_case_names=True,
-                   spell_check=False)
+                   spell_check=False,
+                   # model_creator scenario config empties the POS gate
+                   # (reference tests/model_creator/medcat.txt:
+                   # cat.preprocessing.do_not_normalize = {}) so that
+                   # "falling" lemmatizes to "fall"
+                   do_not_normalize=frozenset())
 
 
 @pytest.fixture(scope="module")

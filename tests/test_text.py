@@ -130,3 +130,61 @@ def test_edits1_set_matches_reference():
         'ambc', 'jabc', 'bc', 'wbc', 'abcz', 'ablc', 'ac', 'azc', 'abct',
         'abmc', 'zbc', 'abch', 'auc', 'xabc', 'mabc'}
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Lemmatizer v3: POS gate (do_not_normalize) + lookup tables
+# (reference medcat/utils/normalizers.py:185-187, medcat/config.py:407,
+# tests/test_entity_linking.py:69-89 lemmatization scenarios)
+# ---------------------------------------------------------------------------
+
+def test_morph_tag_gated_forms():
+    from medcat_ray.functions.text import morph_tag
+    assert morph_tag("falling") == "VBG"
+    assert morph_tag("taken") == "VBD"      # irregular participle lookup
+    assert morph_tag("treated") == "VBD"    # -ed suffix rule
+    assert morph_tag("highest") == "JJS"
+    assert morph_tag("higher") == "JJR"
+    # closed exception lists: noun/-eed readings are never verb tags
+    assert morph_tag("morning") is None
+    assert morph_tag("swelling") is None
+    assert morph_tag("hundred") is None
+    assert morph_tag("exceed") is None
+    # base forms / non-gated shapes
+    assert morph_tag("diagnoses") is None
+    assert morph_tag("table") is None
+
+
+def test_lemmatizer_v3_lookup_tables():
+    # Latin/Greek plurals (suffix rules can't produce these)
+    assert lemmatize("diagnoses") == "diagnosis"
+    assert lemmatize("matrices") == "matrix"
+    assert lemmatize("vertebrae") == "vertebra"
+    assert lemmatize("criteria") == "criterion"
+    # irregular verbs + comparatives/superlatives
+    assert lemmatize("taken") == "take"
+    assert lemmatize("fell") == "fall"
+    assert lemmatize("better") == "good"
+    assert lemmatize("highest") == "high"
+    # -ing/-ed exception sets keep the dominant noun reading
+    assert lemmatize("morning") == "morning"
+    assert lemmatize("swelling") == "swelling"
+    assert lemmatize("hundred") == "hundred"
+    # suffix rules unchanged
+    assert lemmatize("falling") == "fall"
+    assert lemmatize("running") == "run"
+
+
+def test_normalizer_pos_gate_default_vs_empty():
+    # Default gate (config.py:407): VBG/VBD/JJS forms keep their surface
+    # form; un-gated Latin plurals still lemmatize.
+    cfg = CFG.with_overrides(spell_check=False)
+    toks = process_text("falling taken highest diagnoses", cfg)
+    assert [t.norm for t in toks] == ["falling", "taken", "highest",
+                                      "diagnosis"]
+    # Gate emptied (the reference model-creator scenario,
+    # tests/model_creator/medcat.txt: do_not_normalize = {}): everything
+    # lemmatizes — 'falling' links to Fall only through this path.
+    cfg0 = cfg.with_overrides(do_not_normalize=frozenset())
+    toks0 = process_text("falling taken highest diagnoses", cfg0)
+    assert [t.norm for t in toks0] == ["fall", "take", "high", "diagnosis"]
