@@ -116,9 +116,15 @@ class MetaAnnotateStage:
                 while hi < len(tokens) and tokens[hi][1] < ent["end"]:
                     hi += 1
                 left, right = words[:lo], words[hi:]
+                center = words[lo:hi]
                 anns = []
                 for rule in self.rules:
-                    value, conf = rule.score(left, right)
+                    # scorers that need the entity tokens themselves (e.g.
+                    # the BiLSTM center positions) declare needs_center
+                    if getattr(rule, "needs_center", False):
+                        value, conf = rule.score(left, right, center)
+                    else:
+                        value, conf = rule.score(left, right)
                     anns.append({"name": rule.category, "value": value,
                                  "confidence": float(conf)})
                 doc_meta.append(anns)
