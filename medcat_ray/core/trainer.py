@@ -236,7 +236,16 @@ class Trainer:
         of scope).  Annotations flagged deleted/killed train as negatives
         (cat.py:1050-1060); ``correct`` (or unvalidated) as positives."""
         from medcat_ray.sources.mct_export import _load
-        export = _load(mct_export_path)
+        return self.train_supervised_raw(_load(mct_export_path),
+                                         nepochs=nepochs,
+                                         use_filters=use_filters)
+
+    def train_supervised_raw(self, export: dict, nepochs: int = 1,
+                             use_filters: bool = False) -> int:
+        """In-memory twin of :meth:`train_supervised` (reference
+        ``CAT.train_supervised_raw`` takes the export dict directly) —
+        the k-fold replay driver (stats_kfold.py) trains each fold
+        without round-tripping through JSON files."""
         n = 0
         for _ in range(nepochs):
             for project in export.get("projects", []):
