@@ -1228,6 +1228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_deid": docs_kg.kg_deid,
         "kg_train_counts": docs_kg.kg_train_counts,
         "eval_prf": eval_prf,
+        # K-fold orchestration (A6): fold split -> per-fold train/eval
+        # replay -> merged per-CUI metrics; oracle-checked (docs_kg
+        # kfold_stats docstring explains why the merge equals
+        # corpus-wide SQL counts).
+        "kfold_stats": docs_kg.kfold_stats,
         # ontology sources (SQL-checked over derived release files)
         "snomed_relationships": snomed_rels_query,
         "snomed_isa_edges": snomed_isa_edges,
@@ -1571,6 +1576,7 @@ FROM counts
                                               lemma_entities_oracle_sql,
                                               lemma_gated_entities_oracle_sql,
                                               spell_entities_oracle_sql)
+    from medcat_ray.pipelines.docs_kg import kfold_stats_oracle_sql
     return {
         "kg_entities": entities_oracle_sql(),
         "kg_entities_hard": hard_entities_oracle_sql(),
@@ -1588,6 +1594,7 @@ FROM counts
         "pages_kg_flagship": pages_flagship_oracle_sql(),
         "pages_kg_triple_counts": triple_counts_oracle_sql(),
         "eval_prf": eval_prf_sql,
+        "kfold_stats": kfold_stats_oracle_sql(),
         "snomed_relationships": """
 SELECT CAST(p_partkey AS VARCHAR) AS subj_cui,
        CASE WHEN p_partkey % 2 = 0 THEN '116680003'

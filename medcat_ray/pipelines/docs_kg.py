@@ -804,3 +804,98 @@ FROM ents s JOIN ents o
  AND s.source_value <> o.source_value
 GROUP BY s.cui, o.cui
 """)
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation over a deterministic labelled export (A6 driver,
+# reference medcat/stats/kfold.py:452-480), oracle-checked end-to-end.
+#
+# Gold labels are a SQL-expressible asymmetry against the dictionary:
+#   * 10 of the 12 concept words carry correct gold annotations -> TP;
+#   * "spark" / "join" mentions are LEFT OUT of gold -> every predicted
+#     mention of them is an FP;
+#   * the sub-min-length token "a" carries gold annotations under a fake
+#     CUI -> FN.  prepare_name("a") is empty under DOCS_CONFIG
+#     (min_name_len=3), so the supervised replay of those annotations
+#     provably cannot teach the dictionary to detect them — and the empty
+#     fixture vocab means replay trains no context vectors — hence
+#     predictions are fold-composition-independent and the merged k-fold
+#     metrics equal corpus-wide counts, which DuckDB recomputes exactly.
+# What the oracle then checks about the ORCHESTRATION itself: the union
+# of held-out folds covers every document exactly once (any fold overlap
+# or gap shifts the counts), state restoration between folds, and the
+# merge arithmetic.
+# ---------------------------------------------------------------------------
+
+KFOLD_DOC_LIMIT = 60                    # model-sized labelled export
+KFOLD_FP_WORDS = ("spark", "join")      # predicted but never gold
+KFOLD_FN_WORD = "a"                     # gold but never predictable
+KFOLD_FN_CUI = "C0000999"
+
+
+def _kfold_export(sf_dir: str) -> dict:
+    """Deterministic MCT-style export over the first KFOLD_DOC_LIMIT docs,
+    gold positions computed with the same space-tokenization as TOKEN_CTE."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    docs = []
+    for doc_id, text in sorted(zip(tbl["doc_id"].to_pylist(),
+                                   tbl["text"].to_pylist())):
+        if doc_id >= KFOLD_DOC_LIMIT:
+            continue
+        anns = []
+        pos = 0
+        for tok in (text or "").split(" "):
+            if tok in DOC_CONCEPTS and tok not in KFOLD_FP_WORDS:
+                anns.append({"start": pos, "end": pos + len(tok),
+                             "cui": DOC_CONCEPTS[tok], "value": tok,
+                             "correct": True})
+            elif tok == KFOLD_FN_WORD:
+                anns.append({"start": pos, "end": pos + len(tok),
+                             "cui": KFOLD_FN_CUI, "value": tok,
+                             "correct": True})
+            pos += len(tok) + 1
+        docs.append({"id": int(doc_id), "name": f"doc{doc_id}",
+                     "text": text, "annotations": anns})
+    return {"projects": [{"id": 1, "name": "kfold", "cuis": "",
+                          "documents": docs}]}
+
+
+def kfold_stats(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """3-fold weighted-split train/eval replay -> merged per-CUI metrics."""
+    from medcat_ray.stats_kfold import get_k_fold_stats
+    cdb, vocab = docs_cdb()
+    merged = get_k_fold_stats(cdb, vocab, _kfold_export(sf_dir), k=k,
+                              split_type="weighted", config=DOCS_CONFIG)
+    for c in ("tp", "fp", "fn"):
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("cui").reset_index(drop=True)
+
+
+def kfold_stats_oracle_sql() -> str:
+    fp_words = ", ".join(f"'{w}'" for w in KFOLD_FP_WORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < {KFOLD_DOC_LIMIT}
+), concepts AS (
+  SELECT * FROM {concept_values_sql()}
+), counted AS (
+  SELECT c.cui,
+         CASE WHEN c.name IN ({fp_words}) THEN 0 ELSE count(t.tok) END AS tp,
+         CASE WHEN c.name IN ({fp_words}) THEN count(t.tok) ELSE 0 END AS fp,
+         0 AS fn
+  FROM concepts c LEFT JOIN toks t ON t.tok = c.name
+  GROUP BY c.cui, c.name
+  UNION ALL
+  SELECT '{KFOLD_FN_CUI}' AS cui, 0 AS tp, 0 AS fp, count(*) AS fn
+  FROM toks WHERE tok = '{KFOLD_FN_WORD}'
+)
+SELECT cui, tp, fp, fn,
+       ROUND(tp / GREATEST(tp + fp, 1), 6) AS prec,
+       ROUND(tp / GREATEST(tp + fn, 1), 6) AS rec,
+       ROUND(2.0 * tp / GREATEST(2 * tp + fp + fn, 1), 6) AS f1
+FROM counted
+ORDER BY cui
+"""

@@ -175,3 +175,28 @@ def test_per_fold_metrics_holds_out_each_fold(ray_session):
     assert len(per) == 3
     for frame in per:
         assert int(frame["tp"].sum() + frame["fn"].sum()) == 2
+
+
+def test_kfold_stats_query_matches_oracle(ray_session):
+    """Driver-contract kfold_stats == its DuckDB oracle at sf0.001
+    (the merged k-fold metrics equal corpus-wide counts because the
+    held-out folds partition the documents exactly once)."""
+    import duckdb
+    from medcat_ray.pipelines.docs_kg import (kfold_stats,
+                                              kfold_stats_oracle_sql)
+    sf = "/root/testdata/sf0.001"
+    got = kfold_stats(sf).sort_values("cui").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(kfold_stats_oracle_sql()).df() \
+        .sort_values("cui").reset_index(drop=True)
+    assert list(got["cui"]) == list(want["cui"])
+    for c in ("tp", "fp", "fn"):
+        assert list(got[c].astype(int)) == list(want[c].astype(int))
+    for c in ("prec", "rec", "f1"):
+        np.testing.assert_allclose(got[c].astype(float),
+                                   want[c].astype(float), rtol=1e-4)
+    # the fake-FN CUI is present and never predicted
+    row = got.set_index("cui").loc["C0000999"]
+    assert int(row["tp"]) == 0 and int(row["fn"]) > 0
