@@ -6,10 +6,15 @@ notably its multiprocessing path FORBIDS addl NER
 (/root/reference/medcat/cat.py:1370-1372) — in Ray Data it is just another
 actor-pool ``map_batches`` stage with its own batch size and ``num_gpus``.
 
-torch/transformers are not installed in this container, so the model load
-raises a clearly-marked ``NotImplementedError`` unless a ``scorer``
-callable is injected (tests inject a deterministic fake).  The Ray-side
-plumbing — actor signature, Arrow schema, batching, output layout matching
+torch/transformers are not installed in this container, so the HF model
+load raises a clearly-marked ``NotImplementedError`` unless a ``scorer``
+callable is injected.  Two REAL scorers exist:
+:class:`medcat_ray.stages.bert.BertNERScorer` (numpy BERT
+token-classification forward over exported HF weights — the reference
+eval path, torch-free) and
+:class:`medcat_ray.stages.ner_model.LearnedNERModel` (trainable BIO
+tagger).  The Ray-side plumbing — actor signature, Arrow schema,
+batching, output layout matching
 :data:`medcat_ray.stages.annotate.ENTITY_TYPE` — is real and tested.
 """
 
