@@ -1233,6 +1233,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kfold_stats docstring explains why the merge equals
         # corpus-wide SQL counts).
         "kfold_stats": docs_kg.kfold_stats,
+        # Neural-head stages, rows-only (forward passes not
+        # SQL-expressible; parity pinned by tests/test_bilstm.py and
+        # tests/test_bert.py naive-transcription twins)
+        "kg_meta_bilstm": docs_kg.kg_meta_bilstm,
+        "kg_rel_bert": docs_kg.kg_rel_bert,
         # ontology sources (SQL-checked over derived release files)
         "snomed_relationships": snomed_rels_query,
         "snomed_isa_edges": snomed_isa_edges,

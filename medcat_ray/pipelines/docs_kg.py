@@ -899,3 +899,104 @@ SELECT cui, tp, fp, fn,
 FROM counted
 ORDER BY cui
 """
+
+
+# ---------------------------------------------------------------------------
+# Neural-head driver queries (rows-only: the BiLSTM/BERT forward passes are
+# not SQL-expressible; determinism comes from fixed-seed weights and is
+# pinned by unit tests in tests/test_bilstm.py / tests/test_bert.py).
+# ---------------------------------------------------------------------------
+
+def _docs_token_vocab() -> Dict[str, int]:
+    """Closed corpus vocabulary -> stable token ids (0=pad, 1=unk)."""
+    return {w: i + 2 for i, w in enumerate(_CORPUS_WORDS)}
+
+
+def kg_meta_bilstm(sf_dir: str) -> pd.DataFrame:
+    """T2 neural path: the numpy BiLSTM MetaCAT scorer (stages/bilstm.py,
+    reference meta_cat.py:447-634 eval semantics) over every linked
+    entity, via the SAME actor-pool meta stage as kg_meta."""
+    from medcat_ray.stages.bilstm import (BiLSTMMetaScorer, NumpyBiLSTM,
+                                          random_weights)
+    from medcat_ray.stages.meta import meta_annotate
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    ann = docs.map_batches(
+        __import__("medcat_ray.stages.annotate",
+                   fromlist=["AnnotateStage"]).AnnotateStage,
+        fn_constructor_kwargs=dict(models=(cdb, vocab), config=DOCS_CONFIG,
+                                   key_column="doc_id",
+                                   keep_columns=("text",)),
+        batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=1)
+    tok2id = _docs_token_vocab()
+    scorer = BiLSTMMetaScorer(
+        "Negation",
+        NumpyBiLSTM(random_weights(vocab_size=len(tok2id) + 2,
+                                   embedding_size=8, hidden_size=16,
+                                   nclasses=2, num_layers=2, seed=42),
+                    padding_idx=0),
+        tok2id, {0: "Affirmed", 1: "Negated"})
+    meta = meta_annotate(ann, rules=[scorer], concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "start_pos": [], "cui": [], "value": [],
+                "confidence": []}
+        for doc_id, ents, metas in zip(batch["doc_id"].to_pylist(),
+                                       batch["ents"].to_pylist(),
+                                       batch["meta_anns"].to_pylist()):
+            for ent, anns in zip(ents or [], metas or []):
+                rows["doc_id"].append(doc_id)
+                rows["start_pos"].append(ent["start"])
+                rows["cui"].append(ent["cui"])
+                rows["value"].append(anns[0]["value"])
+                rows["confidence"].append(anns[0]["confidence"])
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "start_pos": pa.array(rows["start_pos"], pa.int32()),
+            "cui": pa.array(rows["cui"], pa.string()),
+            "value": pa.array(rows["value"], pa.string()),
+            "confidence": pa.array(rows["confidence"], pa.float64()),
+        })
+
+    out = meta.map_batches(explode, batch_format="pyarrow").to_pandas()
+    out["confidence"] = out["confidence"].round(6)
+    return out.sort_values(["doc_id", "start_pos"]).reset_index(drop=True)
+
+
+def kg_rel_bert(sf_dir: str) -> pd.DataFrame:
+    """T3 neural path: the numpy BERT pair classifier (stages/bert.py,
+    reference rel_cat.py:551-611 + relation_extraction/models.py:170-222)
+    over window-bounded entity pairs, via the RelScoreStage actor pool;
+    grouped relation counts."""
+    import ray
+    from ray.data.aggregate import Count
+    from medcat_ray.stages.bert import (BertRelScorer,
+                                        NumpyBertRelClassifier,
+                                        random_bert_weights)
+    from medcat_ray.stages.rel_model import score_relations
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    ann = docs.map_batches(
+        __import__("medcat_ray.stages.annotate",
+                   fromlist=["AnnotateStage"]).AnnotateStage,
+        fn_constructor_kwargs=dict(models=(cdb, vocab), config=DOCS_CONFIG,
+                                   key_column="doc_id",
+                                   keep_columns=("text",)),
+        batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=1)
+    tok2id = _docs_token_vocab()
+    scorer = BertRelScorer(
+        NumpyBertRelClassifier(
+            random_bert_weights(vocab_size=len(tok2id) + 2, hidden=16,
+                                num_layers=1, num_heads=2, rel_classes=2,
+                                max_pos=80, seed=42),
+            num_layers=1, num_heads=2),
+        tok2id, {0: "operates_on", 1: "none"}, max_len=78)
+    rels = score_relations(ann, scorer, window=60, key_column="doc_id",
+                           concurrency=2)
+    out = rels.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(
+        Count(alias_name="count")).to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values(["subj_cui", "pred", "obj_cui"]) \
+        .reset_index(drop=True)

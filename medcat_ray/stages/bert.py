@@ -193,17 +193,26 @@ class NumpyBertRelClassifier:
                   for k in ("fc1.weight", "fc1.bias", "fc2.weight",
                             "fc2.bias", "fc3.weight", "fc3.bias")}
 
-    def logits(self, seqs: Sequence[Sequence[int]],
-               e1_e2_start: Sequence[Tuple[int, int]]) -> np.ndarray:
-        H, _ = self.encoder.hidden_states(seqs)
-        pooled = self.encoder.pooled(H)
-        rows = np.arange(len(seqs))
+    def pair_logits(self, H: np.ndarray, pooled: np.ndarray,
+                    seq_idx: np.ndarray,
+                    e1_e2_start: Sequence[Tuple[int, int]]) -> np.ndarray:
+        """Pair head over PRE-COMPUTED encoder states: many pairs can
+        share one encoded sequence (``seq_idx`` maps pair -> sequence
+        row), so a document is encoded once however many entity pairs it
+        yields."""
         starts = np.asarray(e1_e2_start, dtype=np.int64)
-        x = np.concatenate([pooled, H[rows, starts[:, 0]],
-                            H[rows, starts[:, 1]]], axis=1)
+        idx = np.asarray(seq_idx, dtype=np.int64)
+        x = np.concatenate([pooled[idx], H[idx, starts[:, 0]],
+                            H[idx, starts[:, 1]]], axis=1)
         x = x @ self.w["fc1.weight"].T + self.w["fc1.bias"]
         x = x @ self.w["fc2.weight"].T + self.w["fc2.bias"]
         return x @ self.w["fc3.weight"].T + self.w["fc3.bias"]
+
+    def logits(self, seqs: Sequence[Sequence[int]],
+               e1_e2_start: Sequence[Tuple[int, int]]) -> np.ndarray:
+        H, _ = self.encoder.hidden_states(seqs)
+        return self.pair_logits(H, self.encoder.pooled(H),
+                                np.arange(len(seqs)), e1_e2_start)
 
     def predict(self, seqs: Sequence[Sequence[int]],
                 e1_e2_start: Sequence[Tuple[int, int]]
@@ -363,17 +372,24 @@ class BertRelScorer:
         self.lowercase = bool(lowercase)
         self.max_len = int(max_len)
 
-    def predict(self, text: str, subj: Tuple[int, int],
-                obj: Tuple[int, int]) -> Tuple[str, float]:
+    def _encode(self, text: str, subj: Tuple[int, int],
+                obj: Tuple[int, int],
+                cache: Optional[dict] = None
+                ) -> Tuple[List[int], Tuple[int, int]]:
         import re
-        toks = [(m.group(0), m.start()) for m in
-                re.finditer(r"\S+", text or "")][: self.max_len]
-        ids = [self.token2id.get(t.lower() if self.lowercase else t,
-                                 self.unk_id) for t, _ in toks]
-        off = 0
-        if self.cls_id is not None:          # reference seqs start at [CLS]
-            ids = [self.cls_id] + ids
-            off = 1
+        key = text
+        if cache is not None and key in cache:
+            toks, ids = cache[key]
+        else:
+            toks = [(m.group(0), m.start()) for m in
+                    re.finditer(r"\S+", text or "")][: self.max_len]
+            ids = [self.token2id.get(t.lower() if self.lowercase else t,
+                                     self.unk_id) for t, _ in toks]
+            if self.cls_id is not None:      # reference seqs start at [CLS]
+                ids = [self.cls_id] + ids
+            if cache is not None:
+                cache[key] = (toks, ids)
+        off = 1 if self.cls_id is not None else 0
 
         def tok_index(char_start: int) -> int:
             best = 0
@@ -384,6 +400,42 @@ class BertRelScorer:
                     break
             return best + off
 
-        starts = (tok_index(subj[0]), tok_index(obj[0]))
+        return ids, (tok_index(subj[0]), tok_index(obj[0]))
+
+    def predict(self, text: str, subj: Tuple[int, int],
+                obj: Tuple[int, int]) -> Tuple[str, float]:
+        ids, starts = self._encode(text, subj, obj)
         preds, confs = self.model.predict([ids], [starts])
         return self.id2label[int(preds[0])], float(confs[0])
+
+    def predict_many(self, items: Sequence[Tuple[str, Tuple[int, int],
+                                                 Tuple[int, int]]]
+                     ) -> List[Tuple[str, float]]:
+        """Batched pair scoring, factorized for the many-pairs-per-doc
+        shape: each DISTINCT text is encoded once (one batched encoder
+        forward over distinct sequences), then the three-dense pair head
+        runs vectorized over all pairs via their (seq_idx, e1_e2_start)
+        gathers — called by RelScoreStage when present."""
+        if not items:
+            return []
+        cache: dict = {}
+        text2row: dict = {}
+        seqs: List[List[int]] = []
+        seq_idx: List[int] = []
+        starts: List[Tuple[int, int]] = []
+        for text, subj, obj in items:
+            ids, st = self._encode(text, subj, obj, cache)
+            row = text2row.get(text)
+            if row is None:
+                row = text2row[text] = len(seqs)
+                seqs.append(ids)
+            seq_idx.append(row)
+            starts.append(st)
+        H, _ = self.model.encoder.hidden_states(seqs)
+        lg = self.model.pair_logits(H, self.model.encoder.pooled(H),
+                                    np.asarray(seq_idx), starts)
+        probs = softmax(lg, axis=1)
+        preds = np.argmax(lg, axis=1)
+        confs = np.max(probs, axis=1)
+        return [(self.id2label[int(p)], float(c))
+                for p, c in zip(preds, confs)]

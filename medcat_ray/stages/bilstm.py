@@ -248,13 +248,32 @@ class BiLSTMMetaScorer:
         t2i = self.token2id
         return [t2i.get(t, self.unk_id) for t in toks]
 
+    def _window(self, left: Sequence[str], right: Sequence[str],
+                center: Optional[Sequence[str]]
+                ) -> Tuple[List[int], List[int]]:
+        ctr = list(center) if center else [""]
+        lw = self._ids(list(left)[-self.cntx_left:])
+        cw = self._ids(ctr)
+        rw = self._ids(list(right)[:self.cntx_right])
+        return lw + cw + rw, list(range(len(lw), len(lw) + len(cw)))
+
     def score(self, left: List[str], right: List[str],
               center: Optional[List[str]] = None) -> Tuple[str, float]:
-        ctr = list(center) if center else [""]
-        lw = self._ids(left[-self.cntx_left:])
-        cw = self._ids(ctr)
-        rw = self._ids(right[:self.cntx_right])
-        seq = lw + cw + rw
-        cpos = list(range(len(lw), len(lw) + len(cw)))
+        seq, cpos = self._window(left, right, center)
         preds, confs = self.model.predict([seq], [cpos])
         return self.id2value[int(preds[0])], float(confs[0])
+
+    def score_many(self, windows: Sequence[Tuple[Sequence[str],
+                                                 Sequence[str],
+                                                 Sequence[str]]]
+                   ) -> List[Tuple[str, float]]:
+        """Batched scoring: ONE padded LSTM forward for all entity
+        windows of an Arrow batch (the reference's create_batch_piped_data
+        batching, ml_utils.py:104-110) — called by MetaAnnotateStage when
+        present."""
+        if not windows:
+            return []
+        seqs, cposs = zip(*[self._window(l, r, c) for l, r, c in windows])
+        preds, confs = self.model.predict(list(seqs), list(cposs))
+        return [(self.id2value[int(p)], float(c))
+                for p, c in zip(preds, confs)]

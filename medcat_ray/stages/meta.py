@@ -99,36 +99,50 @@ class MetaAnnotateStage:
         tune_actor_gc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import bisect
         texts = batch[self.text_column].to_pylist()
         ents_col = batch["ents"].to_pylist()
-        out_meta: List[List[List[dict]]] = []
+        # pass 1: entity windows for the whole Arrow batch — this is the
+        # batch unit NN scorers see (reference batches entities across
+        # docs the same way, meta_cat.py:578-600 `data` array)
+        windows: List[tuple] = []           # (left, right, center)
+        n_ents_per_doc: List[int] = []
         for text, ents in zip(texts, ents_col):
             tokens = [(m.group(0).lower(), m.start(), m.end())
                       for m in _TOKEN_RE.finditer(text or "")]
             words = [t[0] for t in tokens]
             starts = [t[1] for t in tokens]
-            doc_meta: List[List[dict]] = []
+            n = 0
             for ent in ents or []:
-                # token index range of the entity (by char offsets)
-                import bisect
                 lo = bisect.bisect_left(starts, ent["start"])
                 hi = lo
                 while hi < len(tokens) and tokens[hi][1] < ent["end"]:
                     hi += 1
-                left, right = words[:lo], words[hi:]
-                center = words[lo:hi]
-                anns = []
-                for rule in self.rules:
-                    # scorers that need the entity tokens themselves (e.g.
-                    # the BiLSTM center positions) declare needs_center
-                    if getattr(rule, "needs_center", False):
-                        value, conf = rule.score(left, right, center)
-                    else:
-                        value, conf = rule.score(left, right)
-                    anns.append({"name": rule.category, "value": value,
-                                 "confidence": float(conf)})
-                doc_meta.append(anns)
+                windows.append((words[:lo], words[hi:], words[lo:hi]))
+                n += 1
+            n_ents_per_doc.append(n)
+        # pass 2: score per rule — batched when the scorer supports it
+        per_rule: List[List[Tuple[str, float]]] = []
+        for rule in self.rules:
+            if hasattr(rule, "score_many"):
+                per_rule.append(rule.score_many(windows))
+            elif getattr(rule, "needs_center", False):
+                per_rule.append([rule.score(l, r, c)
+                                 for l, r, c in windows])
+            else:
+                per_rule.append([rule.score(l, r) for l, r, _ in windows])
+        # pass 3: reassemble per-doc per-entity meta_anns
+        out_meta: List[List[List[dict]]] = []
+        pos = 0
+        for n in n_ents_per_doc:
+            doc_meta = []
+            for i in range(pos, pos + n):
+                doc_meta.append([
+                    {"name": rule.category, "value": vals[i][0],
+                     "confidence": float(vals[i][1])}
+                    for rule, vals in zip(self.rules, per_rule)])
             out_meta.append(doc_meta)
+            pos += n
         return batch.append_column(
             "meta_anns", pa.array(out_meta,
                                   type=pa.list_(pa.list_(META_ANN_TYPE))))

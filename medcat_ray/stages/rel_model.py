@@ -149,6 +149,11 @@ class RelScoreStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys_out, subj_out, pred_out, obj_out, conf_out = [], [], [], [], []
         ss_out, os_out = [], []
+        # pass 1: collect window-bounded candidate pairs for the whole
+        # Arrow batch — the batch unit NN models score in one forward
+        # (reference DataLoader batching, rel_cat.py:563-586)
+        items: list = []    # (text, subj_span, obj_span)
+        meta: list = []     # (key, subj_ent, obj_ent)
         for key, text, ents in zip(batch[self.key_column].to_pylist(),
                                    batch[self.text_column].to_pylist(),
                                    batch["ents"].to_pylist()):
@@ -160,19 +165,24 @@ class RelScoreStage:
                         break  # ents sorted by start
                     if ents[j]["source_value"] == ents[i]["source_value"]:
                         continue
-                    label, conf = self.model.predict(
-                        text or "",
-                        (ents[i]["start"], ents[i]["end"]),
-                        (ents[j]["start"], ents[j]["end"]))
-                    if conf < self.min_confidence:
-                        continue
-                    keys_out.append(key)
-                    subj_out.append(ents[i]["cui"])
-                    pred_out.append(label)
-                    obj_out.append(ents[j]["cui"])
-                    conf_out.append(conf)
-                    ss_out.append(ents[i]["start"])
-                    os_out.append(ents[j]["start"])
+                    items.append((text or "",
+                                  (ents[i]["start"], ents[i]["end"]),
+                                  (ents[j]["start"], ents[j]["end"])))
+                    meta.append((key, ents[i], ents[j]))
+        if hasattr(self.model, "predict_many"):
+            scored = self.model.predict_many(items)
+        else:
+            scored = [self.model.predict(t, s, o) for t, s, o in items]
+        for (key, se, oe), (label, conf) in zip(meta, scored):
+            if conf < self.min_confidence:
+                continue
+            keys_out.append(key)
+            subj_out.append(se["cui"])
+            pred_out.append(label)
+            obj_out.append(oe["cui"])
+            conf_out.append(conf)
+            ss_out.append(se["start"])
+            os_out.append(oe["start"])
         return pa.table({
             "subj_cui": pa.array(subj_out, type=pa.string()),
             "pred": pa.array(pred_out, type=pa.string()),

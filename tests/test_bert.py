@@ -263,3 +263,27 @@ def test_rel_scorer_in_rel_score_stage(ray_session):
     assert out["pred"].to_pylist()[0] in ("operates_on", "none")
     # determinism
     assert stage(batch).to_pylist() == out.to_pylist()
+
+
+def test_predict_many_equals_sequential():
+    """Factorized batched pair scoring (encode distinct texts once, pair
+    head gathered) == per-pair predict."""
+    from medcat_ray.stages.bert import BertRelScorer
+    vocab = {w: i + 2 for i, w in enumerate(
+        ["spark", "reads", "the", "table", "join", "runs"])}
+    w = random_bert_weights(vocab_size=10, hidden=8, num_layers=1,
+                            num_heads=2, rel_classes=3, seed=17)
+    sc = BertRelScorer(NumpyBertRelClassifier(w, 1, 2), vocab,
+                       {0: "a", 1: "b", 2: "c"})
+    items = [
+        ("spark reads the table", (0, 5), (16, 21)),
+        ("spark reads the table", (6, 11), (16, 21)),   # same text
+        ("join runs the table", (0, 4), (14, 19)),
+        ("spark reads the table", (0, 5), (6, 11)),     # same text again
+    ]
+    many = sc.predict_many(items)
+    one = [sc.predict(t, s, o) for t, s, o in items]
+    assert [m[0] for m in many] == [o[0] for o in one]
+    np.testing.assert_allclose([m[1] for m in many],
+                               [o[1] for o in one], atol=1e-12)
+    assert sc.predict_many([]) == []

@@ -221,3 +221,26 @@ def test_scorer_in_meta_stage(ray_session):
     assert ann["value"] in ("Affirmed", "Negated")
     # deterministic: same input -> same value
     assert stage(batch)["meta_anns"].to_pylist() == meta
+
+
+def test_score_many_equals_sequential():
+    """Batched window scoring (one padded forward) == per-window score."""
+    vocab = {w: i + 2 for i, w in enumerate(
+        ["no", "sign", "of", "fracture", "seen", "today", "pain"])}
+    w = random_weights(vocab_size=12, embedding_size=3, hidden_size=8,
+                       nclasses=2, num_layers=2, bidirectional=True,
+                       seed=14)
+    sc = BiLSTMMetaScorer("Negation", NumpyBiLSTM(w, padding_idx=0),
+                          vocab, {0: "Affirmed", 1: "Negated"})
+    windows = [
+        (["no", "sign", "of"], ["seen"], ["fracture"]),
+        ([], ["today"], ["pain"]),
+        (["seen", "today"], [], ["fracture", "pain"]),
+        ([], [], [""]),
+    ]
+    many = sc.score_many(windows)
+    one = [sc.score(list(l), list(r), list(c)) for l, r, c in windows]
+    assert [m[0] for m in many] == [o[0] for o in one]
+    np.testing.assert_allclose([m[1] for m in many],
+                               [o[1] for o in one], atol=1e-12)
+    assert sc.score_many([]) == []
