@@ -761,6 +761,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = sample_exact_n(ds, n=37, seed=1)
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_pii_redact(sf_dir):
+        """PII redaction (Dolma/C4-style scrubbing): deterministic
+        PII-bearing suffixes (emails / phones / IPv4s, gated on doc_id
+        residues) appended to each document, then the three RE2 patterns
+        counted + replaced in fixed order by pure pyarrow.compute
+        kernels (ops/pii.py).  The oracle rebuilds the same bytes and
+        applies the same staged regexp_replace chain in DuckDB (both
+        engines are RE2, so the redaction is byte-identical)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.pii import redact_pii
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+
+        def _pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            out = []
+            for i, t in zip(ids, texts):
+                i = int(i)
+                s = (t or "")
+                if i % 2 == 0:
+                    s += f" Contact user{i}@example.com for details."
+                if i % 3 == 0:
+                    s += f" Call (555) 123-{i % 10000:04d} today."
+                if i % 5 == 0:
+                    s += (f" Served by 10.{i % 256}.{(i // 256) % 256}"
+                          f".{i % 100} node.")
+                out.append(s)
+            return pa.table({
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "text": pa.array(out, pa.string())})
+
+        out = redact_pii(ds.map_batches(_pages, batch_format="pyarrow")) \
+            .select_columns(["doc_id", "n_emails", "n_phones", "n_ips",
+                             "redacted_text"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_seq_blocks(sf_dir):
+        """Sequence packing (training-corpus export): every document
+        chunked into fixed-length 64-token blocks, one row per block with
+        a 63-bit checksum of the block's splitmix64 token hashes
+        (ops/packing.py — str.split + one poly_hashes call +
+        np.add.reduceat per batch, zero shuffle).  The oracle recomputes
+        token hashes and block sums exactly (packing_oracle_sql)."""
+        import ray.data as rd
+        from medcat_ray.ops.packing import pack_sequences
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = pack_sequences(ds, block_size=64).to_pandas()
+        return out.sort_values(["doc_id", "block_idx"]) \
+            .reset_index(drop=True)
+
     def url_dedup_docs(sf_dir):
         """URL canonicalization + URL-keyed dedup: synthesized URLs
         (deterministic from doc_id) plant case/port/fragment/tracking
@@ -1277,6 +1330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_ppl": doc_lm_ppl,
         "doc_mixture_sample": doc_mixture_sample,
         "url_dedup_docs": url_dedup_docs,
+        "doc_pii_redact": doc_pii_redact,
+        "doc_seq_blocks": doc_seq_blocks,
         "doc_top_keywords": doc_top_keywords,
         "events_asof_orders": events_asof_orders,
         "events_range_pairs": events_range_pairs,
@@ -1513,6 +1568,11 @@ ORDER BY doc_id"""
 def _sample_n_oracle() -> str:
     from medcat_ray.ops.sample import sample_exact_n_oracle_sql
     return sample_exact_n_oracle_sql(37, seed=1) + "\nORDER BY doc_id"
+
+
+def _packing_oracle() -> str:
+    from medcat_ray.ops.packing import packing_oracle_sql
+    return packing_oracle_sql(block_size=64)
 
 
 def _mixture_oracle() -> str:
@@ -1868,6 +1928,45 @@ ORDER BY doc_id, sent_idx
         "doc_sample_n": _sample_n_oracle(),
         # regex-pass canonicalization twin + window-min keeper
         "url_dedup_docs": _url_dedup_oracle(),
+        # identical RE2 patterns, identical staged order (counts taken on
+        # the post-previous-replacement text, as in ops/pii.py)
+        "doc_pii_redact": r"""
+WITH pages AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 2 = 0 THEN ' Contact user' || doc_id
+            || '@example.com for details.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' Call (555) 123-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' today.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' Served by 10.' || (doc_id % 256)
+            || '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+            || ' node.' ELSE '' END AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                AS n_emails,
+              regexp_replace(t,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t FROM pages),
+s2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t, '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))
+                AS n_phones,
+              regexp_replace(t, '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}',
+                             '<PHONE>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_phones,
+              len(regexp_extract_all(t,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+              regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                             '<IP>', 'g') AS redacted_text FROM s2)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ips AS BIGINT) AS n_ips, redacted_text
+FROM s3 ORDER BY doc_id
+""",
+        # token-hash + block-checksum arithmetic twin (ops/packing.py)
+        "doc_seq_blocks": _packing_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
         # right side
         "events_asof_orders": """
