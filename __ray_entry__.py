@@ -761,6 +761,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = sample_exact_n(ds, n=37, seed=1)
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def substr_dedup_docs(sf_dir):
+        """Exact substring dedup (Lee et al. 2022) over the NATURAL
+        documents table: every occurrence of a duplicated 10-token
+        window except its keeper loses those tokens (ops/substr.py —
+        one window row per token, native groupby(Min,Count) so only
+        duplicated hashes leave the shuffle, auto-gated broadcast/join
+        apply).  The planted identical-text pairs (doc_id % 10 < 2)
+        guarantee real removals; the oracle recomputes every window
+        hash and the keeper/removal arithmetic in DuckDB."""
+        import ray.data as rd
+        from medcat_ray.ops.substr import substring_dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = substring_dedup(ds, window=10) \
+            .select_columns(["doc_id", "clean_text", "n_removed_tokens"]) \
+            .to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_pii_redact(sf_dir):
         """PII redaction (Dolma/C4-style scrubbing): deterministic
         PII-bearing suffixes (emails / phones / IPv4s, gated on doc_id
@@ -1330,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_ppl": doc_lm_ppl,
         "doc_mixture_sample": doc_mixture_sample,
         "url_dedup_docs": url_dedup_docs,
+        "substr_dedup_docs": substr_dedup_docs,
         "doc_pii_redact": doc_pii_redact,
         "doc_seq_blocks": doc_seq_blocks,
         "doc_top_keywords": doc_top_keywords,
@@ -1573,6 +1592,11 @@ def _sample_n_oracle() -> str:
 def _packing_oracle() -> str:
     from medcat_ray.ops.packing import packing_oracle_sql
     return packing_oracle_sql(block_size=64)
+
+
+def _substr_oracle() -> str:
+    from medcat_ray.ops.substr import substring_dedup_oracle_sql
+    return substring_dedup_oracle_sql(window=10)
 
 
 def _mixture_oracle() -> str:
@@ -1967,6 +1991,9 @@ FROM s3 ORDER BY doc_id
 """,
         # token-hash + block-checksum arithmetic twin (ops/packing.py)
         "doc_seq_blocks": _packing_oracle(),
+        # full window-hash / keeper / removal arithmetic twin
+        # (ops/substr.py)
+        "substr_dedup_docs": _substr_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
         # right side
         "events_asof_orders": """
