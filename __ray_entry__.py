@@ -779,6 +779,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def bloom_dedup_incremental(sf_dir):
+        """Bloom-filter incremental dedup (streaming-ingestion exact
+        dedup, ops/bloom.py): the even-doc_id half of the corpus is the
+        EXISTING data, summarized once into a 2^20-bit filter (per-batch
+        partial bitmaps OR-reduced); the odd half is the NEW shard,
+        probed by broadcast with zero shuffle.  The planted identical
+        pairs (doc_id % 10 < 2 share text: 10g even / 10g+1 odd) are
+        guaranteed hits; the oracle rebuilds the same splitmix64 probe
+        positions in DuckDB, so verdicts match bit-for-bit, false
+        positives included."""
+        import ray.data as rd
+        from medcat_ray.ops.bloom import build_bloom, probe_bloom
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        import pyarrow.compute as _pc
+
+        def _half(parity):
+            def f(b):
+                return b.filter(_pc.equal(
+                    _pc.bit_wise_and(b["doc_id"], 1), parity))
+            return f
+        ex = docs.map_batches(_half(0), batch_format="pyarrow")
+        nw = docs.map_batches(_half(1), batch_format="pyarrow")
+        bloom = build_bloom(ex, m_bits=1 << 20, k=4)
+        out = probe_bloom(nw, bloom, m_bits=1 << 20, k=4) \
+            .select_columns(["doc_id", "maybe_seen"]).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_pii_redact(sf_dir):
         """PII redaction (Dolma/C4-style scrubbing): deterministic
         PII-bearing suffixes (emails / phones / IPv4s, gated on doc_id
@@ -1349,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": doc_mixture_sample,
         "url_dedup_docs": url_dedup_docs,
         "substr_dedup_docs": substr_dedup_docs,
+        "bloom_dedup_incremental": bloom_dedup_incremental,
         "doc_pii_redact": doc_pii_redact,
         "doc_seq_blocks": doc_seq_blocks,
         "doc_top_keywords": doc_top_keywords,
@@ -1597,6 +1626,12 @@ def _packing_oracle() -> str:
 def _substr_oracle() -> str:
     from medcat_ray.ops.substr import substring_dedup_oracle_sql
     return substring_dedup_oracle_sql(window=10)
+
+
+def _bloom_oracle() -> str:
+    from medcat_ray.ops.bloom import bloom_oracle_sql
+    return bloom_oracle_sql("doc_id % 2 = 0", "doc_id % 2 = 1",
+                            m_bits=1 << 20, k=4)
 
 
 def _mixture_oracle() -> str:
@@ -1994,6 +2029,8 @@ FROM s3 ORDER BY doc_id
         # full window-hash / keeper / removal arithmetic twin
         # (ops/substr.py)
         "substr_dedup_docs": _substr_oracle(),
+        # exact probe-position twin of the bloom filter (FPs included)
+        "bloom_dedup_incremental": _bloom_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
         # right side
         "events_asof_orders": """
