@@ -263,6 +263,33 @@ def run_bench() -> dict:
                 concurrency=pool).count()
     timed("knn_ivf_8q", _ivf)
 
+    timed("substr_dedup", lambda: __import__(
+        "medcat_ray.ops.substr", fromlist=["substring_dedup"])
+        .substring_dedup(_docs(), window=10).count())
+
+    def _bloom():
+        from medcat_ray.ops.bloom import build_bloom, probe_bloom
+        import pyarrow.compute as _pc
+
+        def _half(par):
+            def f(b):
+                return b.filter(_pc.equal(
+                    _pc.bit_wise_and(b["doc_id"], 1), par))
+            return f
+        ex = _docs().map_batches(_half(0), batch_format="pyarrow")
+        nw = _docs().map_batches(_half(1), batch_format="pyarrow")
+        bloom = build_bloom(ex, m_bits=1 << 24, k=4)
+        probe_bloom(nw, bloom, m_bits=1 << 24, k=4).count()
+    timed("bloom_incremental", _bloom)
+
+    timed("pii_redact", lambda: __import__(
+        "medcat_ray.ops.pii", fromlist=["redact_pii"])
+        .redact_pii(_docs()).count())
+
+    timed("seq_pack", lambda: __import__(
+        "medcat_ray.ops.packing", fromlist=["pack_sequences"])
+        .pack_sequences(_docs(), block_size=64).count())
+
     ray.shutdown()
     return {
         "metric": "kg_pipeline_sec",
