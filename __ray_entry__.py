@@ -779,6 +779,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_line_dedup(sf_dir):
+        """Within-document repeated-line dedup (the per-record half of
+        web boilerplate cleaning, ops/textclean.py:dedup_doc_lines — no
+        shuffle): pages synthesized with planted repeated menu/footer
+        lines, first occurrence kept; the oracle is a ROW_NUMBER keep
+        rule over identically rebuilt page bytes."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.textclean import dedup_doc_lines
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+
+        def _pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            out = []
+            for i, t in zip(ids, texts):
+                i = int(i)
+                ls = [f"Doc {i} header.", "menu", (t or ""), "menu"]
+                if i % 2 == 0:
+                    ls.append("footer")
+                ls.append("footer")
+                out.append("\n".join(ls))
+            return pa.table({
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "text": pa.array(out, pa.string())})
+
+        out = dedup_doc_lines(ds.map_batches(_pages,
+                                             batch_format="pyarrow")) \
+            .select_columns(["doc_id", "clean_text", "n_removed_lines"]) \
+            .to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def bloom_dedup_incremental(sf_dir):
         """Bloom-filter incremental dedup (streaming-ingestion exact
         dedup, ops/bloom.py): the even-doc_id half of the corpus is the
@@ -1378,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_docs": url_dedup_docs,
         "substr_dedup_docs": substr_dedup_docs,
         "bloom_dedup_incremental": bloom_dedup_incremental,
+        "doc_line_dedup": doc_line_dedup,
         "doc_pii_redact": doc_pii_redact,
         "doc_seq_blocks": doc_seq_blocks,
         "doc_top_keywords": doc_top_keywords,
@@ -1632,6 +1666,17 @@ def _bloom_oracle() -> str:
     from medcat_ray.ops.bloom import bloom_oracle_sql
     return bloom_oracle_sql("doc_id % 2 = 0", "doc_id % 2 = 1",
                             m_bits=1 << 20, k=4)
+
+
+def _line_dedup_oracle() -> str:
+    from medcat_ray.ops.textclean import dedup_lines_oracle_sql
+    pages = ("(SELECT doc_id, 'Doc ' || doc_id || ' header.' || chr(10)"
+             " || 'menu' || chr(10) || COALESCE(text, '') || chr(10)"
+             " || 'menu'"
+             " || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'footer'"
+             " ELSE '' END"
+             " || chr(10) || 'footer' AS text FROM documents)")
+    return dedup_lines_oracle_sql(table=pages)
 
 
 def _mixture_oracle() -> str:
@@ -2031,6 +2076,8 @@ FROM s3 ORDER BY doc_id
         "substr_dedup_docs": _substr_oracle(),
         # exact probe-position twin of the bloom filter (FPs included)
         "bloom_dedup_incremental": _bloom_oracle(),
+        # ROW_NUMBER keep rule over identically rebuilt page bytes
+        "doc_line_dedup": _line_dedup_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
         # right side
         "events_asof_orders": """

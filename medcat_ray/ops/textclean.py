@@ -353,3 +353,72 @@ def split_sentences(ds: rd.Dataset, text_col: str = "text",
             "sentence": pa.array(o_s, type=pa.string())})
 
     return ds.map_batches(_split, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repeated-line dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_doc_lines(ds: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text") -> rd.Dataset:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence (the within-doc half of web-text boilerplate cleaning —
+    cross-document spans are ops/textclean.span_dedup; the public
+    RefinedWeb/Dolma pipelines run both).
+
+    Purely per-record → embarrassingly parallel, no shuffle.  Appends
+    ``clean_text`` (surviving lines, original order) and
+    ``n_removed_lines``.  Exact string match on the raw line bytes; the
+    DuckDB twin is a ROW_NUMBER-over-(doc, line) keep rule
+    (``dedup_lines_oracle_sql``)."""
+    def _dedup(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        clean, nrem = [], []
+        for t in texts:
+            lines = (t or "").split("\n")
+            seen = set()
+            kept = []
+            for l in lines:
+                if l in seen:
+                    continue
+                seen.add(l)
+                kept.append(l)
+            clean.append("\n".join(kept))
+            nrem.append(len(lines) - len(kept))
+        return (batch
+                .append_column("clean_text",
+                               pa.array(clean, type=pa.string()))
+                .append_column("n_removed_lines",
+                               pa.array(np.asarray(nrem, dtype=np.int64),
+                                        type=pa.int64())))
+
+    return ds.map_batches(_dedup, batch_format="pyarrow")
+
+
+def dedup_lines_oracle_sql(table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`dedup_doc_lines`."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col}, ord, ls[ord] AS l
+  FROM (SELECT {id_col},
+               string_split(COALESCE({text_col}, ''), chr(10)) AS ls
+        FROM {table}),
+       unnest(generate_series(1, len(ls))) AS g(ord)),
+ranked AS (
+  SELECT {id_col}, ord, l,
+         ROW_NUMBER() OVER (PARTITION BY {id_col}, l ORDER BY ord) AS rn
+  FROM lines)
+SELECT d.{id_col},
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(k.n_removed, 0) AS BIGINT) AS n_removed_lines
+FROM {table} d LEFT JOIN (
+  SELECT {id_col},
+         string_agg(CASE WHEN rn = 1 THEN l END, chr(10) ORDER BY ord)
+           FILTER (WHERE rn = 1) AS clean_text,
+         COUNT(*) FILTER (WHERE rn > 1) AS n_removed
+  FROM ranked GROUP BY {id_col}) k USING ({id_col})
+ORDER BY d.{id_col}
+"""

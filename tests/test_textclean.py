@@ -1,5 +1,7 @@
 """Unit tests for ops/textclean.py (C4-style line cleaning)."""
 
+import numpy as np
+import pandas as pd
 import pytest
 import pyarrow as pa
 import ray.data as rd
@@ -165,3 +167,24 @@ def test_span_dedup_rejects_over_maxpos_doc(ray_session):
         assert out["n_removed_lines"].iloc[0] == 0
     finally:
         textclean._MAXPOS = orig
+
+
+def test_dedup_doc_lines_matches_duckdb(ray_session):
+    import duckdb
+    from medcat_ray.ops.textclean import (dedup_doc_lines,
+                                          dedup_lines_oracle_sql)
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a\nb\na\nc\nb", "x", "", None,
+                 "same\nsame\nsame", "one\ntwo\nthree"]})
+    got = dedup_doc_lines(rd.from_pandas(df)) \
+        .select_columns(["doc_id", "clean_text", "n_removed_lines"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(dedup_lines_oracle_sql()).df()
+    exp["n_removed_lines"] = exp["n_removed_lines"].astype("int64")
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert got.loc[0, "clean_text"] == "a\nb\nc"
+    assert got.loc[4, "clean_text"] == "same"
+    assert got.loc[4, "n_removed_lines"] == 2
