@@ -1357,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triple_counts": docs_kg.kg_triple_counts,
         "kg_typed_triples": docs_kg.kg_typed_triples,
         "kg_meta": docs_kg.kg_meta,
+        "kg_meta_pipe": docs_kg.kg_meta_pipe,
         "kg_deid": docs_kg.kg_deid,
         "kg_train_counts": docs_kg.kg_train_counts,
         "eval_prf": eval_prf,
@@ -1758,6 +1759,9 @@ FROM counts
         "kg_triple_counts": triple_counts_oracle_sql(),
         "kg_typed_triples": typed_triples_oracle_sql(),
         "kg_meta": meta_oracle_sql(),
+        # identical oracle: the RayPipe-composed plan must equal the
+        # hand-built chain
+        "kg_meta_pipe": meta_oracle_sql(),
         "kg_deid": deid_oracle_sql(),
         "kg_train_counts": train_counts_oracle_sql(),
         "pages_kg_flagship": pages_flagship_oracle_sql(),

@@ -912,6 +912,45 @@ def _docs_token_vocab() -> Dict[str, int]:
     return {w: i + 2 for i, w in enumerate(_CORPUS_WORDS)}
 
 
+def kg_meta_pipe(sf_dir: str) -> rd.Dataset:
+    """The kg_meta pipeline rebuilt through the DECLARATIVE composer
+    (pipelines/compose.py:RayPipe — the reference Pipe.add_* extension
+    surface, medcat/pipe.py:78-186): add_annotator + add_meta_cat +
+    add_component(explode).  Shares kg_meta's exact SQL oracle, proving
+    the composed plan equals the hand-built chain end-to-end."""
+    from medcat_ray.pipelines.compose import RayPipe
+    from medcat_ray.stages.meta import MetaRule
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    rules = [MetaRule("Negation", META_TRIGGERS, "Negated", "Affirmed",
+                      scope="left")]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "start_pos": [], "cui": [], "negation": []}
+        for doc_id, ents, metas in zip(batch["doc_id"].to_pylist(),
+                                       batch["ents"].to_pylist(),
+                                       batch["meta_anns"].to_pylist()):
+            for ent, anns in zip(ents or [], metas or []):
+                rows["doc_id"].append(doc_id)
+                rows["start_pos"].append(ent["start"])
+                rows["cui"].append(ent["cui"])
+                rows["negation"].append(anns[0]["value"])
+        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "start_pos": pa.array(rows["start_pos"],
+                                               pa.int32()),
+                         "cui": pa.array(rows["cui"], pa.string()),
+                         "negation": pa.array(rows["negation"],
+                                              pa.string())})
+
+    pipe = (RayPipe(models=(cdb, vocab), config=DOCS_CONFIG,
+                    key_column="doc_id")
+            .add_annotator(concurrency=2)
+            .add_meta_cat(rules, concurrency=2)
+            .add_component(explode))
+    return pipe.run(docs)
+
+
 def kg_meta_bilstm(sf_dir: str) -> pd.DataFrame:
     """T2 neural path: the numpy BiLSTM MetaCAT scorer (stages/bilstm.py,
     reference meta_cat.py:447-634 eval semantics) over every linked
