@@ -779,6 +779,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def corpus_hll_tokens(sf_dir):
+        """HyperLogLog distinct-token sketch (ops/sketch.py): per-batch
+        2^12-register partials max-combined with ZERO shuffle — the
+        fixed-memory substitute for an all-to-all distinct at 100 TB.
+        Output = the nonzero registers themselves, compared EXACTLY:
+        the oracle recomputes the token hashes and the integer
+        bucket/leading-zero arithmetic in DuckDB (no float log2 on
+        either side).  Estimate accuracy is pinned separately in
+        tests/test_sketch.py against true distinct counts."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from medcat_ray.ops.sketch import hll_registers
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        reg = hll_registers(ds, p=12)
+        nz = np.nonzero(reg)[0]
+        return pd.DataFrame({"bucket": nz.astype("int64"),
+                             "register": reg[nz].astype("int64")})
+
     def doc_line_dedup(sf_dir):
         """Within-document repeated-line dedup (the per-record half of
         web boilerplate cleaning, ops/textclean.py:dedup_doc_lines — no
@@ -1413,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_dedup_docs": substr_dedup_docs,
         "bloom_dedup_incremental": bloom_dedup_incremental,
         "doc_line_dedup": doc_line_dedup,
+        "corpus_hll_tokens": corpus_hll_tokens,
         "doc_pii_redact": doc_pii_redact,
         "doc_seq_blocks": doc_seq_blocks,
         "doc_top_keywords": doc_top_keywords,
@@ -1667,6 +1688,11 @@ def _bloom_oracle() -> str:
     from medcat_ray.ops.bloom import bloom_oracle_sql
     return bloom_oracle_sql("doc_id % 2 = 0", "doc_id % 2 = 1",
                             m_bits=1 << 20, k=4)
+
+
+def _hll_oracle() -> str:
+    from medcat_ray.ops.sketch import hll_oracle_sql
+    return hll_oracle_sql(p=12)
 
 
 def _line_dedup_oracle() -> str:
@@ -2082,6 +2108,8 @@ FROM s3 ORDER BY doc_id
         "bloom_dedup_incremental": _bloom_oracle(),
         # ROW_NUMBER keep rule over identically rebuilt page bytes
         "doc_line_dedup": _line_dedup_oracle(),
+        # exact integer twin of the HLL register arithmetic
+        "corpus_hll_tokens": _hll_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
         # right side
         "events_asof_orders": """

@@ -1,0 +1,131 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+classic fixed-memory cardinality estimator a 100 TB pipeline uses where
+an exact ``unique`` would be an all-to-all shuffle: per-batch register
+arrays (2^p bytes each, independent of row count) max-combine
+associatively, so the whole corpus reduces with ZERO shuffle — one
+``map_batches`` pass + a driver (or tree) max.
+
+Everything is deterministic integer arithmetic over the engine's
+SQL-recomputable token hashes (ops/hashing.poly_hashes):
+
+* bucket   = h >> (64 - p)                      (top p bits)
+* w        = h  & (2^(64-p) - 1)                (remaining bits)
+* rho(w)   = 1 + |{k in 1..64-p : w < 2^(64-p-k)}|   (leading zeros + 1)
+* register = max rho per bucket
+
+rho is computed by INTEGER threshold comparisons on both sides (numpy
+searchsorted here, a thresholds join in DuckDB) — deliberately no
+float ``log2``, whose boundary rounding could disagree across libms.
+The ``corpus_hll_tokens`` driver query compares the raw registers
+EXACTLY; the estimate is derived client-side (:func:`hll_estimate`,
+classic alpha·m²/Σ2^-M with the small-range linear-counting branch)
+and accuracy-tested against true distinct counts in tests.
+
+Use p in [4, 18]; p=12 (4096 registers, ~±1.6% rel. error) default.
+p <= 12 also keeps w < 2^52, int64-safe everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from medcat_ray.ops.hashing import poly_hashes
+
+
+def _rho(w: np.ndarray, bits: int) -> np.ndarray:
+    """1 + leading-zero count of ``w`` within a ``bits``-wide word —
+    integer threshold comparisons only (w == 0 → bits + 1)."""
+    # thresholds 2^(bits-1) ... 2^0 descending; rho = 1 + count of
+    # thresholds strictly greater than w
+    thr = (np.uint64(1) << np.arange(bits - 1, -1, -1,
+                                     dtype=np.uint64))
+    # count thr > w  ==  bits - searchsorted(ascending thr, w, 'right')
+    asc = thr[::-1]
+    gt = bits - np.searchsorted(asc, w, side="right")
+    return (gt + 1).astype(np.int64)
+
+
+def hll_registers(ds: rd.Dataset, text_col: str = "text",
+                  p: int = 12) -> np.ndarray:
+    """HLL registers (int64 array of length 2^p) over the DISTINCT
+    lowercased whitespace tokens of ``text_col``."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    bits = 64 - p
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = set()
+        for t in batch[text_col].to_pylist():
+            toks.update((t or "").lower().split())
+        reg = np.zeros(m, dtype=np.int64)
+        if toks:
+            h = poly_hashes(sorted(toks))
+            bucket = (h >> np.uint64(bits)).astype(np.int64)
+            w = h & np.uint64((1 << bits) - 1)
+            np.maximum.at(reg, bucket, _rho(w, bits))
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    out = np.zeros(m, dtype=np.int64)
+    for part in ds.map_batches(
+            _partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for raw in part["reg"].to_pylist():
+            np.maximum(out, np.frombuffer(raw, dtype=np.int64), out=out)
+    return out
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Cardinality estimate from a register array: alpha_m·m²/Σ2^-M,
+    with the small-range linear-counting branch (Flajolet §4)."""
+    m = len(registers)
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif m >= 64:
+        alpha = 0.709
+    elif m >= 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    s = float(np.power(2.0, -registers.astype(np.float64)).sum())
+    e = alpha * m * m / s
+    if e <= 2.5 * m:
+        zeros = int((registers == 0).sum())
+        if zeros:
+            return m * float(np.log(m / zeros))
+    return e
+
+
+def hll_oracle_sql(table: str = "documents", text_col: str = "text",
+                   p: int = 12) -> str:
+    """DuckDB twin: identical token hashes (poly + splitmix64), identical
+    integer bucket/rho arithmetic, MAX per bucket.  Emits only NONZERO
+    registers (bucket, register) — compare against
+    ``hll_registers`` nonzero entries exactly."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, _WS_CLASS, mix64_staged
+    bits = 64 - int(p)
+    tok_poly = (f"list_reduce([CAST(unicode(substr(tok, i, 1)) AS HUGEINT)"
+                f" for i in generate_series(1, length(tok))],"
+                f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    toksrc = (f"(SELECT DISTINCT tok FROM (SELECT unnest("
+              f"regexp_split_to_array(lower(COALESCE({text_col}, '')),"
+              f" '{_WS_CLASS}+')) AS tok FROM {table}) WHERE tok <> '')")
+    thr_rows = ", ".join(f"({1 << b}::HUGEINT)"
+                         for b in range(bits - 1, -1, -1))
+    return f"""
+WITH th AS ({mix64_staged(toksrc, "tok", tok_poly, "h")}),
+hw AS (
+  SELECT h // {1 << bits} AS bucket, h % {1 << bits} AS w FROM th),
+thr(t) AS (VALUES {thr_rows}),
+rho AS (
+  SELECT bucket,
+         1 + (SELECT COUNT(*) FROM thr WHERE w < t) AS r
+  FROM hw)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(r) AS BIGINT) AS register
+FROM rho GROUP BY bucket
+ORDER BY bucket
+"""

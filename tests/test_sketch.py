@@ -1,0 +1,68 @@
+"""HyperLogLog sketch (ops/sketch.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from medcat_ray.ops.sketch import (hll_estimate, hll_oracle_sql,
+                                   hll_registers, _rho)
+
+
+def test_rho_integer_arithmetic():
+    bits = 52
+    assert _rho(np.array([0], dtype=np.uint64), bits)[0] == bits + 1
+    assert _rho(np.array([1], dtype=np.uint64), bits)[0] == bits
+    top = np.uint64(1) << np.uint64(bits - 1)
+    assert _rho(np.array([top], dtype=np.uint64), bits)[0] == 1
+    assert _rho(np.array([top - np.uint64(1)], dtype=np.uint64),
+                bits)[0] == 2
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(5, 60)))
+             for _ in range(400)]
+    texts += ["", None, "Tab\tmixed CASE case"]
+    return pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+
+
+def test_hll_registers_match_duckdb_exactly(ray_session, corpus):
+    reg = hll_registers(rd.from_pandas(corpus).repartition(5), p=10)
+    nz = np.nonzero(reg)[0]
+    got = pd.DataFrame({"bucket": nz.astype("int64"),
+                        "register": reg[nz].astype("int64")})
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    exp = con.execute(hll_oracle_sql(p=10)).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_hll_estimate_accuracy(ray_session, corpus):
+    true = len({w for t in corpus["text"] if t
+                for w in t.lower().split()})
+    reg = hll_registers(rd.from_pandas(corpus), p=10)
+    est = hll_estimate(reg)
+    assert abs(est - true) / true < 0.10      # ~3.2% typical at p=10
+
+    # small-range branch: a handful of distinct tokens
+    small = pd.DataFrame({"text": ["a b c d e"]})
+    reg_s = hll_registers(rd.from_pandas(small), p=10)
+    est_s = hll_estimate(reg_s)
+    assert abs(est_s - 5) < 1.0
+
+
+def test_hll_partials_associative(ray_session, corpus):
+    one = hll_registers(rd.from_pandas(corpus), p=8)
+    many = hll_registers(rd.from_pandas(corpus).repartition(11), p=8)
+    assert np.array_equal(one, many)
+
+
+def test_hll_p_validation(ray_session):
+    with pytest.raises(ValueError):
+        hll_registers(rd.from_pandas(pd.DataFrame({"text": ["x"]})), p=3)
