@@ -389,6 +389,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["score", "neighbor_id"],
                                ascending=[False, True]).reset_index(drop=True)
 
+    def knn_pq_top10(sf_dir):
+        """Product-quantization ANN (ops/pq.py — 64-d float32 → 8-byte
+        codes, 32× memory): deterministic per-subspace k-means codebook
+        trained on the natural corpus, ADC shortlist per batch, exact
+        cosine re-rank.  Over the copy-augmented corpus the planted
+        scaled copies normalize to the query's exact unit vector, so
+        they quantize to its codes and achieve the maximal ADC score —
+        top-10 provably equals exact brute force (same shared SQL
+        oracle as LSH/IVF)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from medcat_ray.ops.pq import knn_pq, train_pq
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"]).to_pandas()
+        books = train_pq(np.array(t["embedding"].head(400).tolist()),
+                         m=8, ksub=16, iters=10, seed=7)
+        out = knn_pq(_aug_embeddings(sf_dir), [0],
+                     _query_vec(sf_dir)[None, :], books, k=10,
+                     shortlist=100, concurrency=2).to_pandas()
+        return out.sort_values(["score", "neighbor_id"],
+                               ascending=[False, True]).reset_index(drop=True)
+
     def knn_ivf_indexed_top10(sf_dir):
         """IVF with a write-time partitioned index over the copy-augmented
         corpus: build (content-fingerprint cached) then query with
@@ -1414,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": knn_top10,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "knn_lsh_top10": knn_lsh_top10,
+        "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
         "knn_ivf_indexed_top10": knn_ivf_indexed_top10,
         "doc_fingerprints": doc_fingerprints,
@@ -1963,7 +1986,8 @@ ORDER BY score DESC, neighbor_id ASC LIMIT 10
         # copies of vector 0 share its bucket and cell; see
         # _plant_query_copies) — one shared exact brute-force oracle.
         **{name: _KNN_AUG_ORACLE for name in
-           ("knn_lsh_top10", "knn_ivf_top10", "knn_ivf_indexed_top10")},
+           ("knn_lsh_top10", "knn_ivf_top10", "knn_ivf_indexed_top10",
+            "knn_pq_top10")},
         # add_split's tag is the first 32 bits of md5(f"split:{key}") —
         # recomputed here independently by DuckDB's md5().
         "doc_split": f"""
