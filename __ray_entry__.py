@@ -821,6 +821,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"bucket": nz.astype("int64"),
                              "register": reg[nz].astype("int64")})
 
+    def corpus_cms_tokens(sf_dir):
+        """Count-min sketch of token occurrences (ops/sketch.py): fixed
+        (4 x 4096) count matrix, per-batch partials summed with zero
+        shuffle — heavy-hitter frequency estimation at any corpus
+        size.  Output = the nonzero cells, compared EXACTLY (the oracle
+        recomputes every splitmix64(h+j) bucket and cell sum in
+        DuckDB); estimate upper-bound property pinned in
+        tests/test_sketch.py."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from medcat_ray.ops.sketch import cms_counts
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        M = cms_counts(ds, depth=4, width=1 << 12)
+        rows, buckets, counts = [], [], []
+        for j in range(M.shape[0]):
+            nz = np.nonzero(M[j])[0]
+            rows.extend([j] * len(nz))
+            buckets.extend(nz.tolist())
+            counts.extend(M[j][nz].tolist())
+        return pd.DataFrame({"row": pd.array(rows, dtype="int64"),
+                             "bucket": pd.array(buckets, dtype="int64"),
+                             "count": pd.array(counts, dtype="int64")})
+
     def doc_line_dedup(sf_dir):
         """Within-document repeated-line dedup (the per-record half of
         web boilerplate cleaning, ops/textclean.py:dedup_doc_lines — no
@@ -1457,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup_incremental": bloom_dedup_incremental,
         "doc_line_dedup": doc_line_dedup,
         "corpus_hll_tokens": corpus_hll_tokens,
+        "corpus_cms_tokens": corpus_cms_tokens,
         "doc_pii_redact": doc_pii_redact,
         "doc_seq_blocks": doc_seq_blocks,
         "doc_top_keywords": doc_top_keywords,
@@ -1716,6 +1742,11 @@ def _bloom_oracle() -> str:
 def _hll_oracle() -> str:
     from medcat_ray.ops.sketch import hll_oracle_sql
     return hll_oracle_sql(p=12)
+
+
+def _cms_oracle() -> str:
+    from medcat_ray.ops.sketch import cms_oracle_sql
+    return cms_oracle_sql(depth=4, width=1 << 12)
 
 
 def _line_dedup_oracle() -> str:
@@ -2134,6 +2165,8 @@ FROM s3 ORDER BY doc_id
         "doc_line_dedup": _line_dedup_oracle(),
         # exact integer twin of the HLL register arithmetic
         "corpus_hll_tokens": _hll_oracle(),
+        # exact cell twin of the count-min matrix
+        "corpus_cms_tokens": _cms_oracle(),
         # DuckDB native ASOF LEFT JOIN against the same pre-aggregated
         # right side
         "events_asof_orders": """

@@ -129,3 +129,88 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM rho GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_counts(ds: rd.Dataset, text_col: str = "text", depth: int = 4,
+               width: int = 1 << 12) -> np.ndarray:
+    """Count-min sketch of TOKEN OCCURRENCES (not distinct): a
+    (depth, width) int64 count matrix.  Row j buckets a token by
+    ``splitmix64(h + j) mod width`` over the SQL-recomputable token
+    hash — the same j-salting as the bloom filter, so a DuckDB twin
+    reproduces every cell exactly (:func:`cms_oracle_sql`).
+
+    Per-batch partial matrices ADD associatively → zero-shuffle reduce,
+    fixed memory (depth·width·8 bytes) at any corpus size — the
+    heavy-hitter / frequency-estimation companion of the HLL sketch."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch[text_col].to_pylist():
+            toks.extend((t or "").lower().split())
+        M = np.zeros((depth, width), dtype=np.int64)
+        if toks:
+            h = poly_hashes(toks)
+            from medcat_ray.ops.hashing import _mix64
+            with np.errstate(over="ignore"):
+                for j in range(depth):
+                    pos = (_mix64(h + np.uint64(j))
+                           % np.uint64(width)).astype(np.int64)
+                    np.add.at(M[j], pos, 1)
+        return pa.table({"m": pa.array([M.tobytes()], pa.binary())})
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    for part in ds.map_batches(
+            _partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for raw in part["m"].to_pylist():
+            out += np.frombuffer(raw, dtype=np.int64).reshape(depth,
+                                                              width)
+    return out
+
+
+def cms_estimate(sketch: np.ndarray, tokens) -> np.ndarray:
+    """Point-query estimates (min over rows) for ``tokens`` — an upper
+    bound on each token's true count, within eN/width w.h.p."""
+    from medcat_ray.ops.hashing import _mix64
+    depth, w = sketch.shape
+    h = poly_hashes([str(t) for t in tokens])
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(depth):
+            pos = (_mix64(h + np.uint64(j)) % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, sketch[j, pos])
+    return est
+
+
+def cms_oracle_sql(table: str = "documents", text_col: str = "text",
+                   depth: int = 4, width: int = 1 << 12) -> str:
+    """DuckDB twin of :func:`cms_counts`: every nonzero cell
+    (row, bucket, count) exactly."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, _WS_CLASS, mix64_staged
+    tok_poly = (f"list_reduce([CAST(unicode(substr(tok, i, 1)) AS HUGEINT)"
+                f" for i in generate_series(1, length(tok))],"
+                f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    toksrc = (f"(SELECT tok, COUNT(*) AS n FROM (SELECT unnest("
+              f"regexp_split_to_array(lower(COALESCE({text_col}, '')),"
+              f" '{_WS_CLASS}+')) AS tok FROM {table})"
+              f" WHERE tok <> '' GROUP BY tok)")
+    js = ", ".join(str(j) for j in range(int(depth)))
+    base = mix64_staged(toksrc, "tok, n", tok_poly, "h")
+    salted = mix64_staged(
+        f"(SELECT n, h, unnest([{js}]) AS j FROM ({base}))",
+        "n, j", f"(h + j) % {_M64}", "ph")
+    return f"""
+SELECT CAST(j AS BIGINT) AS row,
+       CAST(ph % {int(width)} AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS count
+FROM ({salted})
+GROUP BY row, bucket
+ORDER BY row, bucket
+"""

@@ -66,3 +66,38 @@ def test_hll_partials_associative(ray_session, corpus):
 def test_hll_p_validation(ray_session):
     with pytest.raises(ValueError):
         hll_registers(rd.from_pandas(pd.DataFrame({"text": ["x"]})), p=3)
+
+
+def test_cms_matches_duckdb_exactly(ray_session, corpus):
+    from medcat_ray.ops.sketch import cms_counts, cms_oracle_sql
+    M = cms_counts(rd.from_pandas(corpus).repartition(5),
+                   depth=4, width=512)
+    rows = []
+    for j in range(4):
+        nz = np.nonzero(M[j])[0]
+        for b in nz:
+            rows.append((j, int(b), int(M[j, b])))
+    got = pd.DataFrame(rows, columns=["row", "bucket", "count"]) \
+        .astype("int64")
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    exp = con.execute(cms_oracle_sql(depth=4, width=512)).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["row", "bucket"]).reset_index(drop=True), exp)
+
+
+def test_cms_estimate_upper_bounds_truth(ray_session, corpus):
+    from collections import Counter
+    from medcat_ray.ops.sketch import cms_counts, cms_estimate
+    M = cms_counts(rd.from_pandas(corpus), depth=4, width=1 << 12)
+    true = Counter(w for t in corpus["text"] if t
+                   for w in t.lower().split())
+    probes = ["tok1", "tok99", "case", "never-seen-token"]
+    est = cms_estimate(M, probes)
+    for p, e in zip(probes, est):
+        assert e >= true.get(p, 0)
+    assert est[-1] >= 0
+    # partials add associatively
+    M2 = cms_counts(rd.from_pandas(corpus).repartition(9),
+                    depth=4, width=1 << 12)
+    assert np.array_equal(M, M2)
