@@ -290,6 +290,24 @@ def run_bench() -> dict:
         "medcat_ray.ops.packing", fromlist=["pack_sequences"])
         .pack_sequences(_docs(), block_size=64).count())
 
+    def _sketches():
+        from medcat_ray.ops.sketch import cms_counts, hll_registers
+        hll_registers(_docs(), p=12)
+        cms_counts(_docs(), depth=4, width=1 << 12)
+    timed("hll_cms_sketches", _sketches)
+
+    def _pq():
+        from medcat_ray.ops.pq import knn_pq, train_pq
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        q = pq.read_table(emb_path).to_pandas()
+        sample = np.array(q["embedding"].head(2000).tolist(),
+                          dtype=np.float64)
+        books = train_pq(sample, m=8, ksub=16, iters=10, seed=7)
+        Q = np.array(q["embedding"].head(8).tolist(), dtype=np.float64)
+        knn_pq(rd.read_parquet(emb_path), list(range(8)), Q, books,
+               k=10, shortlist=100, concurrency=pool).count()
+    timed("knn_pq_8q", _pq)
+
     ray.shutdown()
     return {
         "metric": "kg_pipeline_sec",
