@@ -960,6 +960,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "block_idx"]) \
             .reset_index(drop=True)
 
+    def doc_sample_per_source(sf_dir):
+        """Per-group exact-N sampling (the eval-set construction step:
+        5 held-out docs per source): seeded hash ranking within each
+        group, per-block vectorized group-wise top-n partials, driver
+        merge of <= blocks x groups x n rows — shuffle-free
+        (ops/sample.py:sample_n_per_group).  Oracle = ROW_NUMBER over
+        the identical mix64 order, partitioned by source."""
+        import ray.data as rd
+        from medcat_ray.ops.sample import sample_n_per_group
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source"])
+        out = sample_n_per_group(ds, n=5, seed=1)
+        return out[["doc_id", "source", "sample_rank"]]
+
     def url_dedup_docs(sf_dir):
         """URL canonicalization + URL-keyed dedup: synthesized URLs
         (deterministic from doc_id) plant case/port/fragment/tracking
@@ -1493,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_pipeline": training_corpus_pipeline,
         "doc_sentences": doc_sentences,
         "doc_sample_n": doc_sample_n,
+        "doc_sample_per_source": doc_sample_per_source,
         "span_dedup_sentences": span_dedup_sentences,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
@@ -1721,6 +1736,11 @@ ORDER BY doc_id"""
 def _sample_n_oracle() -> str:
     from medcat_ray.ops.sample import sample_exact_n_oracle_sql
     return sample_exact_n_oracle_sql(37, seed=1) + "\nORDER BY doc_id"
+
+
+def _sample_per_group_oracle() -> str:
+    from medcat_ray.ops.sample import sample_n_per_group_oracle_sql
+    return sample_n_per_group_oracle_sql(5, seed=1)
 
 
 def _packing_oracle() -> str:
@@ -2115,6 +2135,8 @@ ORDER BY doc_id, sent_idx
         "doc_mixture_sample": _mixture_oracle(),
         # identical mix64 ranking, row_number < n
         "doc_sample_n": _sample_n_oracle(),
+        # identical ranking partitioned by source
+        "doc_sample_per_source": _sample_per_group_oracle(),
         # regex-pass canonicalization twin + window-min keeper
         "url_dedup_docs": _url_dedup_oracle(),
         # identical RE2 patterns, identical staged order (counts taken on

@@ -140,3 +140,77 @@ ranked AS (SELECT {cols},
            FROM h)
 SELECT {cols}, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank < {n}"""
+
+
+def sample_n_per_group(ds, n: int, group_col: str = "source",
+                       id_col: str = "doc_id", seed: int = 1):
+    """Deterministic sample of EXACTLY ``n`` rows PER GROUP (the
+    eval-set construction step: "N held-out docs per source/language").
+
+    Same seeded hash ranking as :func:`sample_exact_n`, applied within
+    each group: each block keeps its n smallest-hash rows per group
+    (vectorized lexsort + segment heads — no per-group Python), the
+    driver merges ≤ blocks·groups·n survivors.  Groups with fewer than
+    n rows keep all of them.  Returns pandas with ``sample_rank``
+    (0-based within group).
+
+    SQL twin: ROW_NUMBER() OVER (PARTITION BY group ORDER BY hash, id)
+    — :func:`sample_n_per_group_oracle_sql`, driver query
+    ``doc_sample_per_source``."""
+    import pandas as pd
+    import pyarrow as pa
+    seed_u = np.uint64(seed)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        if len(ids) == 0:
+            return batch.append_column("__h",
+                                       pa.array([], type=pa.uint64()))
+        with np.errstate(over="ignore"):
+            h = _mix64(ids * _POLY_BASE + seed_u)
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        # group-wise top-n by hash without per-group Python: sort by
+        # (group, hash, id), then keep positions whose within-group
+        # ordinal < n
+        codes, _ = pd.factorize(grp, sort=False)
+        order = np.lexsort((ids, h, codes))
+        gsorted = codes[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(gsorted)) + 1]
+        ordinal = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)]))
+        keep = np.sort(order[ordinal < n])
+        return (batch.take(pa.array(keep))
+                .append_column("__h", pa.array(h[keep],
+                                               type=pa.uint64())))
+
+    part = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(["__h", id_col]) \
+        .groupby(group_col, sort=False).head(n)
+    part = part.sort_values([group_col, "__h", id_col]) \
+        .reset_index(drop=True)
+    part["sample_rank"] = part.groupby(group_col, sort=False) \
+        .cumcount().astype("int64")
+    return part.drop(columns=["__h"]) \
+        .sort_values([group_col, "sample_rank"]).reset_index(drop=True)
+
+
+def sample_n_per_group_oracle_sql(n: int, table: str = "documents",
+                                  group_col: str = "source",
+                                  id_col: str = "doc_id",
+                                  cols: str = "doc_id, source",
+                                  seed: int = 1) -> str:
+    """DuckDB twin of :func:`sample_n_per_group`."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, mix64_staged
+    h = mix64_staged(table, cols,
+                     f"(CAST({id_col} AS HUGEINT) * {_P} + {seed})"
+                     f" % {_M64}", "hv")
+    return f"""
+WITH h AS ({h}),
+ranked AS (SELECT {cols},
+                  row_number() OVER (PARTITION BY {group_col}
+                                     ORDER BY hv, {id_col}) - 1
+                      AS sample_rank
+           FROM h)
+SELECT {cols}, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank < {n}
+ORDER BY {group_col}, sample_rank"""

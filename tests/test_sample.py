@@ -1,6 +1,7 @@
 """Unit tests for ops/sample.py (deterministic mixture sampling)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -65,3 +66,36 @@ def test_sample_exact_n(ray_session):
     # n larger than dataset: returns everything
     small = a.sample_exact_n(_ds(9), n=50, seed=1)
     assert len(small) == 9
+
+
+def test_sample_n_per_group_matches_duckdb(ray_session):
+    import duckdb
+    from medcat_ray.ops.sample import (sample_n_per_group,
+                                       sample_n_per_group_oracle_sql)
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "source": [f"src{int(i)}" for i in rng.integers(0, 7, 500)]})
+    df.loc[df.source == "src6", "source"] = "tiny"
+    df = df[~((df.source == "tiny") & (df.doc_id > 30))]
+    got = sample_n_per_group(rd.from_pandas(df).repartition(6), n=5) \
+        [["doc_id", "source", "sample_rank"]]
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(sample_n_per_group_oracle_sql(5)).df()
+    exp["sample_rank"] = exp["sample_rank"].astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp[got.columns])
+    sizes = got.groupby("source").size()
+    assert (sizes.drop("tiny") == 5).all()
+    assert sizes["tiny"] < 5                 # under-full group keeps all
+
+
+def test_sample_n_per_group_partition_invariant(ray_session):
+    from medcat_ray.ops.sample import sample_n_per_group
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "source": [f"s{i % 4}" for i in range(200)]})
+    a = sample_n_per_group(rd.from_pandas(df), n=7)
+    b = sample_n_per_group(rd.from_pandas(df).repartition(9), n=7)
+    pd.testing.assert_frame_equal(a, b)
