@@ -332,6 +332,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = embedding_near_dups(aug, threshold=0.95).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def kmeans_doc_clusters(sf_dir):
+        """Distributed spherical k-means (ops/kmeans.py): full-corpus
+        Lloyd with per-block partial-sum combiners (the driver only ever
+        merges model-sized partials), deterministic first-k init and
+        lowest-cluster tie-break — the DuckDB twin unrolls the identical
+        two iterations, so integer cluster assignments compare exactly."""
+        import ray.data as rd
+        from medcat_ray.ops.kmeans import kmeans_clusters
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        out = kmeans_clusters(ds, 10, n_iter=2).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    def semantic_dedup_pairs(sf_dir):
+        """SemDeDup (Abbas et al. 2023) over the planted-duplicate
+        corpus: k-means in cosine space, then within-cluster cosine ≥
+        0.95 pairs.  The planted 1.5×-scaled copies share their source's
+        unit vector (same cluster, cosine 1.0) and the natural corpus
+        tops out at ~0.51, so the 20 planted pairs are provably the
+        complete answer — and the oracle re-runs the full unrolled
+        k-means + pair join in SQL, checking cluster ids too."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.kmeans import semantic_dedup_pairs as _sdp
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            sel = batch.filter(pa.compute.less(batch["vec_id"], 20))
+            if sel.num_rows == 0:
+                return batch
+            scaled = [(np.asarray(v, dtype=np.float32) * np.float32(1.5))
+                      .tolist() for v in sel["embedding"].to_pylist()]
+            extra = pa.table({
+                "vec_id": pa.compute.add(sel["vec_id"], 1_000_000),
+                "embedding": pa.array(scaled,
+                                      type=batch["embedding"].type)})
+            return pa.concat_tables([batch, extra])
+
+        aug = ds.map_batches(plant, batch_format="pyarrow")
+        out = _sdp(aug, k=10, n_iter=2, threshold=0.95).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1474,6 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "knn_top10": knn_top10,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "kmeans_doc_clusters": kmeans_doc_clusters,
+        "semantic_dedup_pairs": semantic_dedup_pairs,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -1541,6 +1587,34 @@ SELECT CAST(0 AS BIGINT) AS query_id, a.vec_id AS neighbor_id,
 FROM aug a, q
 ORDER BY score DESC, neighbor_id ASC LIMIT 10
 """
+
+
+def _kmeans_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import spherical_kmeans_assign_sql
+    return "WITH " + spherical_kmeans_assign_sql(
+        "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+        k=10, dim=64, n_iter=2) + """
+SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster
+FROM afin ORDER BY vec_id"""
+
+
+def _semantic_dedup_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import spherical_kmeans_assign_sql
+    src = """SELECT id, v FROM (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding,
+                          x -> CAST(x * 1.5 AS FLOAT))::DOUBLE[]
+    FROM embeddings WHERE vec_id < 20)"""
+    return "WITH " + spherical_kmeans_assign_sql(src, k=10, dim=64,
+                                                 n_iter=2) + """
+SELECT CAST(a.cluster AS INTEGER) AS cluster, a.id AS id_a, b.id AS id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS score
+FROM afin a JOIN afin b ON a.cluster = b.cluster AND a.id < b.id
+JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.95
+ORDER BY id_a, id_b"""
 
 
 def _minhash_oracle() -> str:
@@ -2358,6 +2432,8 @@ SELECT p.id_a, p.id_b,
        END AS jaccard
 FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
 """,
+        "kmeans_doc_clusters": _kmeans_oracle(),
+        "semantic_dedup_pairs": _semantic_dedup_oracle(),
         "embedding_near_dup_pairs": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

@@ -409,3 +409,47 @@ SELECT t.doc_id,
        CAST(COALESCE(o.n_ov, 0) AS BIGINT) AS n_overlap_grams,
        COALESCE(o.n_ov, 0) > 0 AS contaminated
 FROM corpus t LEFT JOIN overlap o ON t.doc_id = o.id"""
+
+
+def spherical_kmeans_assign_sql(src_sql: str, k: int, dim: int,
+                                n_iter: int = 2) -> str:
+    """Unrolled SQL twin of ops.kmeans (init = k smallest-id unit vectors,
+    ``n_iter - 1`` centroid updates, final assignment; ties toward the
+    lowest cluster id).  ``src_sql`` must yield (id BIGINT, v DOUBLE[]).
+    Cosine similarity is scale-invariant, so neither side needs to
+    renormalize updated centroids.  Emits CTEs ending in ``afin(id,
+    cluster)``; the caller appends its own SELECT."""
+    parts = [f"e AS ({src_sql})",
+             f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster, v AS cv
+  FROM e ORDER BY id LIMIT {k})""",
+             f"dims AS (SELECT UNNEST(generate_series(1, {dim})) AS dim)"]
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT id, cluster FROM (
+    SELECT e.id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                      c.cluster ASC) AS rn
+    FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    cents = "c0"
+    for i in range(1, n_iter):
+        a, m, c, cf = f"a{i}", f"m{i}", f"c{i}", f"c{i}f"
+        parts.append(assign(a, cents))
+        parts.append(f"""{m} AS (
+  SELECT {a}.cluster, d.dim,
+         AVG(list_extract(e.v, d.dim)
+             / sqrt(list_inner_product(e.v, e.v))) AS mu
+  FROM {a} JOIN e USING (id) CROSS JOIN dims d
+  GROUP BY {a}.cluster, d.dim)""")
+        parts.append(f"""{c} AS (
+  SELECT cluster, LIST(mu ORDER BY dim) AS cv FROM {m} GROUP BY cluster)""")
+        parts.append(f"""{cf} AS (
+  SELECT c0.cluster, COALESCE({c}.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN {c} USING (cluster))""")
+        cents = cf
+    parts.append(assign("afin", cents))
+    return ",\n".join(parts)
