@@ -376,6 +376,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _sdp(aug, k=10, n_iter=2, threshold=0.95).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def kg_pagerank(sf_dir):
+        """Concept centrality over the co-occurrence KG: exact
+        fixed-point integer PageRank (ops/pagerank.py — scale 10^9,
+        damping 85/100, floor division, 3 rounds) over the weighted
+        edge output of the annotate→triple-counts pipeline.  Integer
+        arithmetic is order-free, so the Ray partial-sum tree and the
+        DuckDB HUGEINT CTE twin agree bit-for-bit."""
+        from medcat_ray.ops.pagerank import pagerank_exact
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(sf_dir), window=300,
+                                 key_column="doc_id", mode="tree")
+        out = pagerank_exact(edges, n_iter=3, src_col="subj_cui",
+                             dst_col="obj_cui", weight_col="count")
+        out = out.rename(columns={"node": "cui"})
+        out["pr"] = out["pr"].astype("int64")
+        return out.sort_values("cui").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1520,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "kmeans_doc_clusters": kmeans_doc_clusters,
         "semantic_dedup_pairs": semantic_dedup_pairs,
+        "kg_pagerank": kg_pagerank,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -1615,6 +1634,22 @@ FROM afin a JOIN afin b ON a.cluster = b.cluster AND a.id < b.id
 JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
 WHERE list_cosine_similarity(ea.v, eb.v) >= 0.95
 ORDER BY id_a, id_b"""
+
+
+def _pagerank_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import pagerank_sql
+    from medcat_ray.pipelines.docs_kg import TOKEN_CTE, concept_values_sql
+    edges_sql = """SELECT s.cui AS src, o.cui AS dst,
+       CAST(count(*) AS HUGEINT) AS w
+FROM ents s JOIN ents o
+  ON s.doc_id = o.doc_id
+ AND o.start_pos > s.start_pos
+ AND o.start_pos - s.start_pos <= 300
+ AND s.source_value <> o.source_value
+GROUP BY s.cui, o.cui"""
+    return TOKEN_CTE.format(concepts=concept_values_sql()) + ", " + \
+        pagerank_sql(edges_sql, n_iter=3) + """
+SELECT node AS cui, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY cui"""
 
 
 def _minhash_oracle() -> str:
@@ -2434,6 +2469,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
 """,
         "kmeans_doc_clusters": _kmeans_oracle(),
         "semantic_dedup_pairs": _semantic_dedup_oracle(),
+        "kg_pagerank": _pagerank_oracle(),
         "embedding_near_dup_pairs": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

@@ -453,3 +453,29 @@ def spherical_kmeans_assign_sql(src_sql: str, k: int, dim: int,
         cents = cf
     parts.append(assign("afin", cents))
     return ",\n".join(parts)
+
+
+def pagerank_sql(edges_sql: str, n_iter: int = 3, scale: int = 10 ** 9,
+                 d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled HUGEINT twin of ops.pagerank.pagerank_exact.
+    ``edges_sql`` must yield (src, dst, w HUGEINT).  Emits CTEs ending in
+    ``it{n_iter}(node, pr)``; the caller appends its own SELECT."""
+    base = ((d_den - d_num) * scale) // d_den
+    parts = [f"edges AS ({edges_sql})",
+             "nodes AS (SELECT src AS node FROM edges "
+             "UNION SELECT dst FROM edges)",
+             "outd AS (SELECT src, SUM(w) AS od FROM edges GROUP BY src)",
+             f"it0 AS (SELECT node, CAST({scale} AS HUGEINT) AS pr "
+             "FROM nodes)"]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""it{i} AS (
+  SELECT n.node,
+         CAST({base} AS HUGEINT) + COALESCE(SUM(
+           e.w * (({d_num}::HUGEINT * p.pr) // ({d_den}::HUGEINT * o.od))
+         ), 0) AS pr
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN it{i - 1} p ON p.node = e.src
+  LEFT JOIN outd o ON o.src = e.src
+  GROUP BY n.node)""")
+    return ",\n".join(parts)
