@@ -394,6 +394,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["pr"] = out["pr"].astype("int64")
         return out.sort_values("cui").reset_index(drop=True)
 
+    def dsir_doc_weights(sf_dir):
+        """DSIR importance weighting (Xie et al. 2023): hashed word-
+        bigram bag models for a target subset (lang='de') and the raw
+        corpus — two shuffle-free partial-bincount fits — then every
+        raw doc scored with the broadcast log-ratio table.  The oracle
+        recomputes the gram hashes bit-for-bit (same polynomial +
+        splitmix64 as decontamination) and the smoothed log ratio in
+        SQL; the float weight column compares with rtol like
+        doc_lm_ppl."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from medcat_ray.ops.dsir import dsir_weights
+        path = os.path.join(sf_dir, "documents.parquet")
+        raw = rd.read_parquet(path, columns=["doc_id", "text"])
+        target = rd.read_parquet(path, columns=["text", "lang"]) \
+            .map_batches(lambda b: b.filter(pc.equal(b["lang"], "de"))
+                         .select(["text"]), batch_format="pyarrow")
+        out = dsir_weights(raw, target, n=2, buckets=4096,
+                           smoothing=1.0, id_col="doc_id").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1539,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_doc_clusters": kmeans_doc_clusters,
         "semantic_dedup_pairs": semantic_dedup_pairs,
         "kg_pagerank": kg_pagerank,
+        "dsir_doc_weights": dsir_doc_weights,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -1650,6 +1672,34 @@ GROUP BY s.cui, o.cui"""
     return TOKEN_CTE.format(concepts=concept_values_sql()) + ", " + \
         pagerank_sql(edges_sql, n_iter=3) + """
 SELECT node AS cui, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY cui"""
+
+
+def _dsir_oracle(buckets: int = 4096) -> str:
+    from medcat_ray.ops.sql_oracle import _gram_cte
+    b = buckets
+    return f"""
+WITH tsrc AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+{_gram_cte("tsrc", "doc_id", "text", 2, "ttoks", "tgrams", "tgh",
+           distinct=False)},
+{_gram_cte("documents", "doc_id", "text", 2, "rtoks", "rgrams", "rgh",
+           distinct=False)},
+tb AS (SELECT gh % {b} AS bk, COUNT(*) AS c FROM tgh GROUP BY 1),
+rb AS (SELECT gh % {b} AS bk, COUNT(*) AS c FROM rgh GROUP BY 1),
+tt AS (SELECT COALESCE(SUM(c), 0) AS t FROM tb),
+rt AS (SELECT COALESCE(SUM(c), 0) AS t FROM rb),
+w AS (
+  SELECT g.id, COUNT(*) AS n_grams,
+         SUM(ln((COALESCE(tb.c, 0) + 1.0) / (tt.t + {b}.0))
+             - ln((COALESCE(rb.c, 0) + 1.0) / (rt.t + {b}.0))) AS wsum
+  FROM rgh g
+  LEFT JOIN tb ON tb.bk = g.gh % {b}
+  LEFT JOIN rb ON rb.bk = g.gh % {b}
+  CROSS JOIN tt CROSS JOIN rt
+  GROUP BY g.id)
+SELECT d.doc_id, CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
+       COALESCE(w.wsum, 0.0) AS dsir_weight
+FROM documents d LEFT JOIN w ON w.id = d.doc_id
+ORDER BY d.doc_id"""
 
 
 def _minhash_oracle() -> str:
@@ -2470,6 +2520,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "kmeans_doc_clusters": _kmeans_oracle(),
         "semantic_dedup_pairs": _semantic_dedup_oracle(),
         "kg_pagerank": _pagerank_oracle(),
+        "dsir_doc_weights": _dsir_oracle(),
         "embedding_near_dup_pairs": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

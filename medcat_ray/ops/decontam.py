@@ -70,8 +70,10 @@ def _span_hashes(joined: str, starts: np.ndarray,
     return _mix64(h)
 
 
-def doc_gram_hashes(text: str, n: int = 8) -> np.ndarray:
-    """Distinct word-n-gram hashes of one document (uint64, sorted).
+def doc_gram_hashes_all(text: str, n: int = 8) -> np.ndarray:
+    """Word-n-gram hashes of one document, ONE PER OCCURRENCE (uint64,
+    document order) — the bag-of-grams stream (used by DSIR importance
+    weighting, ops/dsir.py).
 
     Grams are ``' '.join(tokens[i:i+n])`` over ``text.lower().split()``;
     a document with 1..n-1 tokens contributes its whole token sequence
@@ -93,7 +95,13 @@ def doc_gram_hashes(text: str, n: int = 8) -> np.ndarray:
         m = t - n + 1
         starts = tok_starts[:m]
         ends = tok_starts[n - 1:] + lens[n - 1:]
-    return np.unique(_span_hashes(joined, starts, ends))
+    return _span_hashes(joined, starts, ends)
+
+
+def doc_gram_hashes(text: str, n: int = 8) -> np.ndarray:
+    """Distinct word-n-gram hashes of one document (uint64, sorted) —
+    see :func:`doc_gram_hashes_all` for the gram semantics."""
+    return np.unique(doc_gram_hashes_all(text, n))
 
 
 def benchmark_gram_set(ds: rd.Dataset, text_col: str = "text",

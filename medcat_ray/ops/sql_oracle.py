@@ -359,12 +359,14 @@ FROM scored WHERE jaccard >= {threshold}"""
 
 
 def _gram_cte(src: str, id_col: str, text_col: str, n: int,
-              toks: str, grams: str, gh: str) -> str:
-    """CTE fragments ``toks``/``grams``/``gh``: distinct word-n-gram
-    hashes per doc — SQL twin of decontam.doc_gram_hashes (lowercase
+              toks: str, grams: str, gh: str,
+              distinct: bool = True) -> str:
+    """CTE fragments ``toks``/``grams``/``gh``: word-n-gram hashes per
+    doc — SQL twin of decontam.doc_gram_hashes (lowercase
     Unicode-whitespace tokens → space-joined n-gram strings, short docs
     contribute their whole token sequence → codepoint polynomial →
-    splitmix64)."""
+    splitmix64).  ``distinct=False`` keeps one row per gram OCCURRENCE
+    (twin of doc_gram_hashes_all, the DSIR bag-of-grams stream)."""
     poly = (f"list_reduce([CAST(unicode(substr(g, i, 1)) AS HUGEINT)"
             f" for i in generate_series(1, length(g))],"
             f" (acc, x) -> (acc * {_P} + x) % {_M64})")
@@ -384,7 +386,8 @@ def _gram_cte(src: str, id_col: str, text_col: str, n: int,
   FROM {toks} WHERE len(ws) BETWEEN 1 AND {n - 1}
 ),
 {gh} AS (
-  SELECT DISTINCT id, gh FROM ({mix64_staged(grams, "id", poly, "gh")})
+  SELECT {"DISTINCT " if distinct else ""}id, gh
+  FROM ({mix64_staged(grams, "id", poly, "gh")})
 )"""
 
 
