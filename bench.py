@@ -308,6 +308,36 @@ def run_bench() -> dict:
                k=10, shortlist=100, concurrency=pool).count()
     timed("knn_pq_8q", _pq)
 
+    def _kmeans_semdedup():
+        from medcat_ray.ops.kmeans import semantic_dedup_pairs
+        semantic_dedup_pairs(
+            rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"]),
+            k=10, n_iter=2, threshold=0.95).count()
+    timed("kmeans_semdedup", _kmeans_semdedup)
+
+    def _pagerank():
+        from medcat_ray.ops.pagerank import pagerank_exact
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(SF_DIR), window=300,
+                                 key_column="doc_id", mode="tree")
+        pagerank_exact(edges, n_iter=3, src_col="subj_cui",
+                       dst_col="obj_cui", weight_col="count")
+    timed("kg_pagerank", _pagerank)
+
+    def _dsir():
+        import pyarrow.compute as pc
+        from medcat_ray.ops.dsir import dsir_weights
+        path = os.path.join(SF_DIR, "documents.parquet")
+        raw = rd.read_parquet(path, columns=["doc_id", "text"])
+        target = rd.read_parquet(path, columns=["text", "lang"]) \
+            .map_batches(lambda b: b.filter(pc.equal(b["lang"], "de"))
+                         .select(["text"]), batch_format="pyarrow")
+        dsir_weights(raw, target, n=2, buckets=4096,
+                     id_col="doc_id").count()
+    timed("dsir_weights", _dsir)
+
     ray.shutdown()
     return {
         "metric": "kg_pipeline_sec",

@@ -56,6 +56,12 @@ def pagerank_exact(edges: rd.Dataset, n_iter: int = 3,
     import ray
     from ray.data.aggregate import Sum
 
+    # Pin the (already-reduced) edge table in the object store: power
+    # iteration reads it n_iter+1 times, and without this every pass
+    # would re-execute the upstream pipeline that produced the edges.
+    # The object store spills oversized edge tables to disk — still one
+    # upstream execution.
+    edges = edges.materialize()
     w_expr = weight_col
 
     def edge_partials(batch: pa.Table) -> pa.Table:
