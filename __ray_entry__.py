@@ -415,6 +415,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            smoothing=1.0, id_col="doc_id").to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_components(sf_dir):
+        """Distributed connected components (min-label propagation —
+        one hash join + one groupby-min per round, bounded-hash
+        convergence checksum, nothing driver-side) over a planted chain
+        graph: doc d links to d-1 unless d % 5 == 0, so components are
+        runs of five consecutive ids and the min-label answer is
+        provably node - node % 5 — which is exactly what the SQL twin
+        states.  Chains make propagation pay diameter rounds (4), not
+        the star graphs the dedup family converges on in one."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.dedup import connected_components
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+
+        def mk_edges(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            d = d[d % 5 != 0]
+            return pa.table({"src": pa.array(d, type=pa.int64()),
+                             "dst": pa.array(d - 1, type=pa.int64())})
+
+        edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+        out = connected_components(edges, num_partitions=4).to_pandas()
+        out["component"] = out["component"].astype("int64")
+        return out.sort_values("node").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1561,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_pairs": semantic_dedup_pairs,
         "kg_pagerank": kg_pagerank,
         "dsir_doc_weights": dsir_doc_weights,
+        "doc_components": doc_components,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2521,6 +2548,13 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "semantic_dedup_pairs": _semantic_dedup_oracle(),
         "kg_pagerank": _pagerank_oracle(),
         "dsir_doc_weights": _dsir_oracle(),
+        "doc_components": """
+WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst
+           FROM documents WHERE doc_id % 5 <> 0),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+SELECT node, CAST(node - (node % 5) AS BIGINT) AS component
+FROM n ORDER BY node
+""",
         "embedding_near_dup_pairs": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

@@ -327,6 +327,35 @@ def _propagate_labels(edges: rd.Dataset, id_col: str,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def connected_components(edges: rd.Dataset, src_col: str = "src",
+                         dst_col: str = "dst", max_rounds: int = 64,
+                         num_partitions: int = 16) -> rd.Dataset:
+    """Distributed connected components over an ARBITRARY undirected
+    edge list: ``(node, component)`` for every endpoint, where component
+    is the minimum node id reachable (the conventional min-label
+    canonical representative).
+
+    Public wrapper around the min-label propagation used by the dedup
+    family (:func:`_propagate_labels` — one hash join + one groupby-min
+    per round, bounded-hash convergence checksum, nothing driver-side).
+    Rounds ∝ component diameter, so path-like graphs pay diameter
+    rounds; dedup-style star components converge in a handful.
+    """
+    def star(batch: pa.Table) -> pa.Table:
+        return pa.table({"node_id": batch[src_col].combine_chunks(),
+                         "rep": batch[dst_col].combine_chunks()})
+
+    labs = _propagate_labels(
+        edges.map_batches(star, batch_format="pyarrow"),
+        "node_id", max_rounds=max_rounds,
+        num_partitions=num_partitions)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node_id"],
+                         "component": batch["rep"]})
+    return labs.map_batches(rename, batch_format="pyarrow")
+
+
 def minhash_star_edges(ds: rd.Dataset, num_perm: int = 64,
                        bands: int = 16, shingle_k: int = 5,
                        id_col: str = "doc_id", text_col: str = "text",

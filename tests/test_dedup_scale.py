@@ -390,3 +390,22 @@ def test_exact_dedup_join_no_dups(ray_session):
     rows = [{"doc_id": i, "text": f"unique {i}"} for i in range(6)]
     j = exact_dedup(rd.from_items(rows), method="join").to_pandas()
     assert sorted(j["doc_id"]) == list(range(6))
+
+
+def test_connected_components_general_graph(ray_session):
+    """Public connected_components wrapper on a non-star graph (two
+    chains + one triangle + an isolated edge) vs hand union-find."""
+    import ray.data as rd
+    from medcat_ray.ops.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4),          # chain -> comp 1
+             (10, 11), (11, 12),              # chain -> comp 10
+             (20, 21), (21, 22), (22, 20),    # triangle -> comp 20
+             (30, 31)]                        # edge -> comp 30
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges]) \
+        .repartition(3)
+    out = connected_components(ds, num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    assert dict(zip(out["node"], out["component"])) == want
