@@ -441,6 +441,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["component"] = out["component"].astype("int64")
         return out.sort_values("node").reset_index(drop=True)
 
+    def image_phash_pairs(sf_dir):
+        """Cross-modal near-dup: REAL PPM decode → integer-only 64-bit
+        aHash (8×8 midpoint sample, floor-mean threshold) on an actor
+        pool → the signature-agnostic SimHash 3-of-6-block candidate
+        machinery (exact for Hamming ≤ 3).  Planted gradient images are
+        pure doc_id arithmetic — exact copies (Hamming 0) and +37
+        gray-shifted variants — so the oracle recomputes every hash and
+        brute-forces the same Hamming ≤ 3 criterion in SQL."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.multimodal import (encode_ppm,
+                                               image_near_dup_pairs)
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch["doc_id"].to_pylist():
+                rows.append((i, i, 0))
+                if i < 20:
+                    rows.append((i + 1_000_000, i, 0))
+                elif i < 30:
+                    rows.append((i + 2_000_000, i, 37))
+            ids, data = [], []
+            for nid, src, shift in rows:
+                w, h = 16 + src % 5, 16 + src % 3
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                g = ((src * 31 + yy * 7 + xx * 3 + shift) % 256) \
+                    .astype(np.uint8)
+                data.append(encode_ppm(np.repeat(g[:, :, None], 3,
+                                                 axis=2)))
+                ids.append(nid)
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "data": pa.array(data, type=pa.binary())})
+
+        imgs = docs.map_batches(plant, batch_format="pyarrow")
+        out = image_near_dup_pairs(imgs, strict=True).to_pandas()
+        out["hamming"] = out["hamming"].astype("int64")
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1588,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "dsir_doc_weights": dsir_doc_weights,
         "doc_components": doc_components,
+        "image_phash_pairs": image_phash_pairs,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -1727,6 +1770,47 @@ SELECT d.doc_id, CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
        COALESCE(w.wsum, 0.0) AS dsir_weight
 FROM documents d LEFT JOIN w ON w.id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def _image_phash_oracle() -> str:
+    pow2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, doc_id AS src, 0 AS shift FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id, 37 FROM documents
+  WHERE doc_id >= 20 AND doc_id < 30
+),
+coords AS (
+  SELECT a.yy, b.xx
+  FROM generate_series(0, 7) AS a(yy)
+  CROSS JOIN generate_series(0, 7) AS b(xx)
+),
+samp AS (
+  SELECT base.id, c.yy, c.xx,
+         (base.src * 31
+          + (((2 * c.yy + 1) * (16 + base.src % 3)) // 16) * 7
+          + (((2 * c.xx + 1) * (16 + base.src % 5)) // 16) * 3
+          + base.shift) % 256 AS g
+  FROM base CROSS JOIN coords c
+),
+mm AS (SELECT id, SUM(g) // 64 AS m FROM samp GROUP BY id),
+pow2(b, pw) AS (VALUES {pow2}),
+hh AS (
+  SELECT s.id,
+         SUM(CASE WHEN s.g > mm.m THEN p.pw ELSE 0::HUGEINT END) AS h
+  FROM samp s JOIN mm USING (id)
+  JOIN pow2 p ON p.b = s.yy * 8 + s.xx
+  GROUP BY s.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) AS BIGINT)
+         AS hamming
+FROM hh a JOIN hh b ON a.id < b.id
+WHERE bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
+ORDER BY id_a, id_b"""
 
 
 def _minhash_oracle() -> str:
@@ -2548,6 +2632,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "semantic_dedup_pairs": _semantic_dedup_oracle(),
         "kg_pagerank": _pagerank_oracle(),
         "dsir_doc_weights": _dsir_oracle(),
+        "image_phash_pairs": _image_phash_oracle(),
         "doc_components": """
 WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst
            FROM documents WHERE doc_id % 5 <> 0),

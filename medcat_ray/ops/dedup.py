@@ -564,7 +564,8 @@ def _simhash_block(h: np.ndarray, b: int) -> np.ndarray:
 
 def simhash_candidates(ds: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text", method: str = "auto",
-                       bucket_driver_limit: int = 4_000_000) -> rd.Dataset:
+                       bucket_driver_limit: int = 4_000_000,
+                       sig_col: Optional[str] = None) -> rd.Dataset:
     """Near-dup candidate pairs: all doc pairs at SimHash Hamming
     distance ≤ 3 (exact by the 3-of-6-block pigeonhole; see scheme above).
 
@@ -583,7 +584,18 @@ def simhash_candidates(ds: rd.Dataset, id_col: str = "doc_id",
     import ray
     from medcat_ray.ops.hashing import popcount64
 
-    sims = add_simhash(ds, text_col)
+    if sig_col is None:
+        sims = add_simhash(ds, text_col)
+    else:
+        # precomputed 64-bit signature (int64 bit-wrapped or uint64) —
+        # e.g. an image perceptual hash (ops/multimodal.py:add_image_ahash);
+        # the 3-of-6-block candidate machinery is signature-agnostic
+        def as_simhash(batch: pa.Table) -> pa.Table:
+            sig = batch[sig_col].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            return pa.table({id_col: batch[id_col].combine_chunks(),
+                             "simhash": pa.array(sig, type=pa.uint64())})
+        sims = ds.map_batches(as_simhash, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -508,3 +508,86 @@ def sample_video_frames(ds: rd.Dataset, data_col: str = "data",
                                                      n_frames=n_frames),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (aHash) + cross-modal near-dup
+# ---------------------------------------------------------------------------
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash of a decoded image, INTEGER-ONLY arithmetic
+    (SQL-reproducible bit-for-bit):
+
+    * gray = (r + g + b) // 3 per pixel (grayscale images used as-is);
+    * 8×8 nearest-neighbor sample on the midpoint grid
+      ``((2i + 1)·src) // 16`` per axis (integer twin of the resize
+      stage's float midpoint rule — documented deviation);
+    * bit (y·8 + x) = 1 iff sample > floor(mean of the 64 samples).
+    """
+    g = pixels.astype(np.int64)
+    if g.ndim == 3:
+        g = g.sum(axis=2) // g.shape[2]
+    h, w = g.shape
+    ys = ((2 * np.arange(8, dtype=np.int64) + 1) * h) // 16
+    xs = ((2 * np.arange(8, dtype=np.int64) + 1) * w) // 16
+    s = g[np.ix_(ys, xs)]
+    m = int(s.sum()) // 64
+    bits = (s.reshape(-1) > m).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class ImageAHashStage:
+    """Actor-pool stage: binary image → int64 ``ahash`` column (builtin
+    netpbm/BMP decoders; non-decodable payloads raise under
+    ``strict=True``, else are dropped from the hash stream)."""
+
+    def __init__(self, data_col: str = "data", id_col: str = "doc_id",
+                 strict: bool = False) -> None:
+        self.data_col = data_col
+        self.id_col = id_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i, data in zip(batch[self.id_col].to_pylist(),
+                           batch[self.data_col].to_pylist()):
+            dec = decode_netpbm(data) or decode_bmp(data)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "payload is not netpbm/BMP; cannot ahash")
+                continue
+            ids.append(i)
+            # bit-wrapped to int64 (bijective) like add_content_hash
+            hashes.append(np.uint64(ahash64(dec[0])).view(np.int64)
+                          .item())
+        return pa.table({self.id_col: pa.array(
+            ids, type=batch[self.id_col].type),
+            "ahash": pa.array(hashes, type=pa.int64())})
+
+
+def add_image_ahash(ds: rd.Dataset, data_col: str = "data",
+                    id_col: str = "doc_id", strict: bool = False,
+                    concurrency: int = 2,
+                    batch_size: int = 64) -> rd.Dataset:
+    return ds.map_batches(ImageAHashStage,
+                          fn_constructor_kwargs=dict(
+                              data_col=data_col, id_col=id_col,
+                              strict=strict),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def image_near_dup_pairs(ds: rd.Dataset, data_col: str = "data",
+                         id_col: str = "doc_id", strict: bool = False,
+                         concurrency: int = 2,
+                         method: str = "auto") -> rd.Dataset:
+    """Image near-duplicate candidate pairs: perceptual aHash on an
+    actor pool, then the signature-agnostic SimHash 3-of-6-block
+    machinery (exact for Hamming ≤ 3, singleton buckets pruned
+    natively) — the image-modality twin of text simhash dedup."""
+    from medcat_ray.ops.dedup import simhash_candidates
+    hashed = add_image_ahash(ds, data_col, id_col, strict, concurrency)
+    return simhash_candidates(hashed, id_col=id_col, method=method,
+                              sig_col="ahash")

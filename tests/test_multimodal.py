@@ -188,3 +188,51 @@ def test_video_sampling_short_video():
     row = out.to_pylist()[0]
     assert row["frame_indices"] == [0]
     assert row["frame_means"] == [[9.0, 9.0, 9.0]]
+
+
+def test_ahash64_hand_computed():
+    """4x4 gradient, integer twin computed by hand rules."""
+    import numpy as np
+    from medcat_ray.ops.multimodal import ahash64
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    ys = ((2 * np.arange(8) + 1) * 16) // 16
+    s = g[np.ix_(ys, ys)].astype(np.int64)
+    m = int(s.sum()) // 64
+    want = sum(1 << (y * 8 + x)
+               for y in range(8) for x in range(8)
+               if s[y, x] > m)
+    assert ahash64(img) == want
+    # grayscale 2-D input takes the same path
+    assert ahash64(g) == want
+
+
+def test_image_near_dup_pairs_planted(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from medcat_ray.ops.multimodal import encode_ppm, image_near_dup_pairs
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, size=(20, 24, 3)).astype(np.uint8)
+        rows.append({"doc_id": i, "data": encode_ppm(px)})
+        if i < 3:  # exact pixel copies -> hamming 0
+            rows.append({"doc_id": 100 + i, "data": encode_ppm(px)})
+    ds = rd.from_items(rows).repartition(3)
+    out = image_near_dup_pairs(ds, strict=True).to_pandas()
+    zero = out[out["hamming"] == 0]
+    assert {(int(a), int(b)) for a, b in zip(zero["id_a"], zero["id_b"])} \
+        >= {(0, 100), (1, 101), (2, 102)}
+    # every reported pair honors the criterion
+    assert (out["hamming"] <= 3).all()
+
+
+def test_image_ahash_strict_raises(ray_session):
+    import pytest
+    import ray.data as rd
+    from medcat_ray.ops.multimodal import add_image_ahash
+    ds = rd.from_items([{"doc_id": 0, "data": b"not an image"}])
+    with pytest.raises(Exception, match="netpbm"):
+        add_image_ahash(ds, strict=True).take_all()
+    # non-strict: row silently dropped from the hash stream
+    assert add_image_ahash(ds, strict=False).count() == 0
