@@ -483,6 +483,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["hamming"] = out["hamming"].astype("int64")
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def hll_tokens_by_lang(sf_dir):
+        """GROUPED HyperLogLog: distinct-token registers per lang via
+        sparse per-batch partials and a NATIVE groupby(lang, bucket).Max
+        — the grouped-distinct substitute whose shuffle volume is
+        bounded by groups × 2^p rows, never the corpus.  Registers
+        compare EXACTLY against the DuckDB integer twin."""
+        import ray.data as rd
+        from medcat_ray.ops.sketch import hll_registers_grouped
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["lang", "text"])
+        out = hll_registers_grouped(ds, "lang", p=12).to_pandas()
+        return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1631,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_doc_weights": dsir_doc_weights,
         "doc_components": doc_components,
         "image_phash_pairs": image_phash_pairs,
+        "hll_tokens_by_lang": hll_tokens_by_lang,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2032,6 +2046,11 @@ def _bloom_oracle() -> str:
 def _hll_oracle() -> str:
     from medcat_ray.ops.sketch import hll_oracle_sql
     return hll_oracle_sql(p=12)
+
+
+def _hll_grouped_oracle() -> str:
+    from medcat_ray.ops.sketch import hll_grouped_oracle_sql
+    return hll_grouped_oracle_sql(group_col="lang", p=12)
 
 
 def _cms_oracle() -> str:
@@ -2633,6 +2652,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "kg_pagerank": _pagerank_oracle(),
         "dsir_doc_weights": _dsir_oracle(),
         "image_phash_pairs": _image_phash_oracle(),
+        "hll_tokens_by_lang": _hll_grouped_oracle(),
         "doc_components": """
 WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst
            FROM documents WHERE doc_id % 5 <> 0),

@@ -214,3 +214,95 @@ FROM ({salted})
 GROUP BY row, bucket
 ORDER BY row, bucket
 """
+
+
+def hll_registers_grouped(ds: rd.Dataset, group_col: str,
+                          text_col: str = "text",
+                          p: int = 12) -> rd.Dataset:
+    """Grouped HLL: sparse ``(group, bucket, register)`` rows via one
+    map_batches partial (per-group register max within the batch) and a
+    NATIVE ``groupby(group, bucket).Max`` — the grouped-distinct
+    substitute at scale.  Shuffle volume is bounded by distinct
+    (group, bucket) pairs per batch (≤ groups·2^p, independent of row
+    count), and the per-group register sets merge associatively, so a
+    downstream consumer can keep folding them (e.g. per-day → per-month
+    rollups) without ever touching raw tokens again."""
+    from ray.data.aggregate import Max
+
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    bits = 64 - p
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        by_group: dict = {}
+        for g, t in zip(batch[group_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            by_group.setdefault(g, set()).update((t or "").lower().split())
+        gcol, bcol, rcol = [], [], []
+        for g, toks in by_group.items():
+            if not toks:
+                continue
+            h = poly_hashes(sorted(toks))
+            bucket = (h >> np.uint64(bits)).astype(np.int64)
+            w = h & np.uint64((1 << bits) - 1)
+            reg = np.zeros(m, dtype=np.int64)
+            np.maximum.at(reg, bucket, _rho(w, bits))
+            nz = np.nonzero(reg)[0]
+            gcol.extend([g] * len(nz))
+            bcol.append(nz)
+            rcol.append(reg[nz])
+        bc = np.concatenate(bcol) if bcol else np.array([], dtype=np.int64)
+        rc = np.concatenate(rcol) if rcol else np.array([], dtype=np.int64)
+        return pa.table({
+            group_col: pa.array(gcol, type=batch[group_col].type),
+            "bucket": pa.array(bc, type=pa.int64()),
+            "register": pa.array(rc, type=pa.int64())})
+
+    return ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby([group_col, "bucket"]) \
+        .aggregate(Max("register", alias_name="register"))
+
+
+def hll_estimate_grouped(rows, p: int = 12,
+                         group_col: str = "lang") -> dict:
+    """Per-group cardinality estimates from the sparse grouped-register
+    rows (driver-side convenience; absent buckets count as zero)."""
+    m = 1 << p
+    regs: dict = {}
+    for r in rows:
+        reg = regs.setdefault(r[group_col], np.zeros(m, dtype=np.int64))
+        reg[r["bucket"]] = max(reg[r["bucket"]], r["register"])
+    return {g: hll_estimate(reg) for g, reg in regs.items()}
+
+
+def hll_grouped_oracle_sql(table: str = "documents",
+                           group_col: str = "lang",
+                           text_col: str = "text", p: int = 12) -> str:
+    """DuckDB twin of :func:`hll_registers_grouped` — identical hashes
+    and integer bucket/rho arithmetic, MAX per (group, bucket)."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, _WS_CLASS, mix64_staged
+    bits = 64 - int(p)
+    tok_poly = (f"list_reduce([CAST(unicode(substr(tok, i, 1)) AS HUGEINT)"
+                f" for i in generate_series(1, length(tok))],"
+                f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    toksrc = (f"(SELECT DISTINCT grp, tok FROM (SELECT {group_col} AS grp,"
+              f" unnest(regexp_split_to_array(lower(COALESCE({text_col},"
+              f" '')), '{_WS_CLASS}+')) AS tok FROM {table})"
+              f" WHERE tok <> '')")
+    thr_rows = ", ".join(f"({1 << b}::HUGEINT)"
+                         for b in range(bits - 1, -1, -1))
+    return f"""
+WITH th AS ({mix64_staged(toksrc, "grp", tok_poly, "h")}),
+hw AS (
+  SELECT grp, h // {1 << bits} AS bucket, h % {1 << bits} AS w FROM th),
+thr(t) AS (VALUES {thr_rows}),
+rho AS (
+  SELECT grp, bucket,
+         1 + (SELECT COUNT(*) FROM thr WHERE w < t) AS r
+  FROM hw)
+SELECT grp AS {group_col}, CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(r) AS BIGINT) AS register
+FROM rho GROUP BY grp, bucket
+ORDER BY {group_col}, bucket
+"""

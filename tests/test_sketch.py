@@ -101,3 +101,33 @@ def test_cms_estimate_upper_bounds_truth(ray_session, corpus):
     M2 = cms_counts(rd.from_pandas(corpus).repartition(9),
                     depth=4, width=1 << 12)
     assert np.array_equal(M, M2)
+
+
+def test_hll_grouped_matches_per_group_registers(ray_session):
+    """Grouped registers == running hll_registers per group subset, and
+    per-group estimates land within 15% of true distincts."""
+    import numpy as np
+    import ray.data as rd
+    from medcat_ray.ops.sketch import (hll_estimate_grouped, hll_registers,
+                                       hll_registers_grouped)
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(400):
+        g = f"g{i % 3}"
+        words = [f"w{g}_{rng.integers(0, 500)}" for _ in range(20)]
+        rows.append({"grp": g, "text": " ".join(words)})
+    ds = rd.from_items(rows).repartition(4)
+    grouped = hll_registers_grouped(ds, "grp", p=10).to_pandas()
+    for g in ["g0", "g1", "g2"]:
+        sub = rd.from_items([r for r in rows if r["grp"] == g])
+        want = hll_registers(sub, p=10)
+        got = np.zeros(1 << 10, dtype=np.int64)
+        part = grouped[grouped["grp"] == g]
+        got[part["bucket"].to_numpy()] = part["register"].to_numpy()
+        assert (got == want).all(), g
+    est = hll_estimate_grouped(grouped.to_dict("records"), p=10,
+                               group_col="grp")
+    for g in ["g0", "g1", "g2"]:
+        true = len({w for r in rows if r["grp"] == g
+                    for w in r["text"].split()})
+        assert abs(est[g] - true) / true < 0.15, (g, est[g], true)
