@@ -496,6 +496,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = hll_registers_grouped(ds, "lang", p=12).to_pandas()
         return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
 
+    def doc_bm25_scores(sf_dir):
+        """BM25 ranked-retrieval scoring (Lucene IDF variant) for a
+        fixed 3-term query: one zero-shuffle stats pass (doc count,
+        token total, per-term DFs as bounded per-batch partials), then
+        broadcast-model scoring.  Integers compare exactly; the float
+        score rtol-compares like doc_lm_ppl."""
+        import ray.data as rd
+        from medcat_ray.ops.bm25 import bm25_scores
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = bm25_scores(ds, ["spark", "stream", "table"]).to_pandas()
+        return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1645,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_components": doc_components,
         "image_phash_pairs": image_phash_pairs,
         "hll_tokens_by_lang": hll_tokens_by_lang,
+        "doc_bm25_scores": doc_bm25_scores,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2046,6 +2060,38 @@ def _bloom_oracle() -> str:
 def _hll_oracle() -> str:
     from medcat_ray.ops.sketch import hll_oracle_sql
     return hll_oracle_sql(p=12)
+
+
+def _bm25_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import _WS_CLASS
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         [w for w in regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '{_WS_CLASS}+')
+          if w <> ''] AS ws
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n, SUM(len(ws)) AS tot FROM toks),
+q(term) AS (VALUES ('spark'), ('stream'), ('table')),
+dfq AS (
+  SELECT q.term, COUNT(*) AS df
+  FROM q JOIN toks ON list_contains(toks.ws, q.term)
+  GROUP BY q.term),
+tf AS (
+  SELECT t.doc_id, q.term,
+         len(list_filter(t.ws, x -> x = q.term)) AS tf,
+         len(t.ws) AS dl
+  FROM toks t CROSS JOIN q
+  WHERE list_contains(t.ws, q.term))
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfq.df AS BIGINT) AS df,
+       ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75
+                           + 0.75 * tf.dl / (s.tot * 1.0 / s.n)))
+         AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+ORDER BY doc_id, term"""
 
 
 def _hll_grouped_oracle() -> str:
@@ -2653,6 +2699,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "dsir_doc_weights": _dsir_oracle(),
         "image_phash_pairs": _image_phash_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
+        "doc_bm25_scores": _bm25_oracle(),
         "doc_components": """
 WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst
            FROM documents WHERE doc_id % 5 <> 0),
