@@ -509,6 +509,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = bm25_scores(ds, ["spark", "stream", "table"]).to_pandas()
         return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
+    def inverted_index_lookup(sf_dir):
+        """Write-time partitioned inverted index (ops/invindex.py —
+        the text twin of the IVF vector index): postings stream to
+        shard= parquet partitions at build, and the probe reads ONLY
+        its term's shard directory (1/32 of the index, enforced by the
+        storage layout).  Index build is content-fingerprint cached;
+        the oracle recomputes the postings of the probed term in SQL."""
+        import ray.data as rd
+        from medcat_ray.ops.invindex import (build_inverted_index,
+                                             lookup_postings)
+        path = os.path.join(sf_dir, "documents.parquet")
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"medcat_ray_invidx_{_source_tag(path)}")
+
+        def _build(d):
+            ds = rd.read_parquet(path, columns=["doc_id", "text"])
+            build_inverted_index(ds, d, n_shards=32)
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+
+        _cached_build(idx_dir, _build, done_file="_SUCCESS")
+        out = lookup_postings(idx_dir, "spark", n_shards=32).to_pandas()
+        out["tf"] = out["tf"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1659,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_pairs": image_phash_pairs,
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
+        "inverted_index_lookup": inverted_index_lookup,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2092,6 +2118,21 @@ SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
          AS score
 FROM tf JOIN dfq USING (term) CROSS JOIN stats s
 ORDER BY doc_id, term"""
+
+
+def _invindex_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import _WS_CLASS
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         [w for w in regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '{_WS_CLASS}+')
+          if w <> ''] AS ws
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf
+FROM toks WHERE list_contains(ws, 'spark')
+ORDER BY doc_id"""
 
 
 def _hll_grouped_oracle() -> str:
@@ -2700,6 +2741,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "image_phash_pairs": _image_phash_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "doc_bm25_scores": _bm25_oracle(),
+        "inverted_index_lookup": _invindex_oracle(),
         "doc_components": """
 WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst
            FROM documents WHERE doc_id % 5 <> 0),
