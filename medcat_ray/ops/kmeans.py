@@ -97,7 +97,14 @@ def kmeans_fit(ds: rd.Dataset, k: int, n_iter: int = 2,
         raise ValueError(f"unknown init {init!r}")
     d = C.shape[1]
 
+    def _empty_partial() -> pa.Table:
+        return pa.table({"cluster": pa.array([], type=pa.int32()),
+                         "psum": pa.array([], type=pa.list_(pa.float64())),
+                         "n": pa.array([], type=pa.int64())})
+
     def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial()
         cl = batch["cluster"].to_numpy(zero_copy_only=False)
         sums = _as_matrix(batch["psum"])
         cnts = batch["n"].to_numpy(zero_copy_only=False)
@@ -115,6 +122,8 @@ def kmeans_fit(ds: rd.Dataset, k: int, n_iter: int = 2,
         cref = ray.put(C)
 
         def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
             cent = ray.get(cref)
             V = _unit(_as_matrix(batch[vec_col]))
             a = np.argmax(V @ cent.T, axis=1)
@@ -159,10 +168,13 @@ def kmeans_assign(ds: rd.Dataset, centroids: np.ndarray,
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:
+        cols = [id_col, vec_col] if keep_vec else [id_col]
+        if batch.num_rows == 0:
+            return batch.select(cols).append_column(
+                "cluster", pa.array([], type=pa.int32()))
         cent = ray.get(cref)
         V = _unit(_as_matrix(batch[vec_col]))
         a = np.argmax(V @ cent.T, axis=1).astype(np.int32)
-        cols = [id_col, vec_col] if keep_vec else [id_col]
         return batch.select(cols).append_column(
             "cluster", pa.array(a, type=pa.int32()))
 
