@@ -338,6 +338,25 @@ def run_bench() -> dict:
                      id_col="doc_id").count()
     timed("dsir_weights", _dsir)
 
+    timed("bm25_scores", lambda: __import__(
+        "medcat_ray.ops.bm25", fromlist=["bm25_scores"])
+        .bm25_scores(_docs(), ["spark", "stream", "table"]).count())
+
+    timed("hll_grouped", lambda: __import__(
+        "medcat_ray.ops.sketch", fromlist=["hll_registers_grouped"])
+        .hll_registers_grouped(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["lang", "text"]), "lang").count())
+
+    def _invindex():
+        import tempfile
+        from medcat_ray.ops.invindex import (build_inverted_index,
+                                             lookup_postings)
+        d = os.path.join(tempfile.gettempdir(), "bench_invidx")
+        build_inverted_index(_docs(), d, n_shards=32)
+        lookup_postings(d, "spark", n_shards=32).count()
+    timed("invindex_build_lookup", _invindex)
+
     ray.shutdown()
     return {
         "metric": "kg_pipeline_sec",
