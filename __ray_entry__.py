@@ -534,6 +534,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["tf"] = out["tf"].astype("int64")
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_len_loghist(sf_dir):
+        """Mergeable log-bucket histogram quantiles (HdrHistogram
+        family, ops/loghist.py) over n_chars: integer-only bucketing
+        (bit-length + 5 mantissa bits, ≤3.1% relative error), per-batch
+        bincount partials with ZERO shuffle, integer ceiling ranks —
+        the DuckDB twin reproduces every estimate exactly."""
+        import pandas as pd
+        import ray.data as rd
+        from medcat_ray.ops.loghist import loghist_counts, loghist_quantiles
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["n_chars"])
+        counts = loghist_counts(ds, "n_chars", s=5)
+        rows = loghist_quantiles(counts, [(25, 100), (50, 100),
+                                          (90, 100), (99, 100)], s=5)
+        return pd.DataFrame({"q": [q for q, _ in rows],
+                             "est": pd.array([e for _, e in rows],
+                                             dtype="int64")})
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1685,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
+        "doc_len_loghist": doc_len_loghist,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2742,6 +2761,27 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "doc_bm25_scores": _bm25_oracle(),
         "inverted_index_lookup": _invindex_oracle(),
+        "doc_len_loghist": """
+WITH b AS (
+  SELECT CASE WHEN n_chars < 64 THEN n_chars
+         ELSE (length(bin(n_chars)) - 5) * 32
+              + ((n_chars >> (length(bin(n_chars)) - 6)) - 32)
+         END AS idx
+  FROM documents),
+c AS (SELECT idx, COUNT(*) AS c FROM b GROUP BY idx),
+cum AS (SELECT idx, SUM(c) OVER (ORDER BY idx) AS cum FROM c),
+n AS (SELECT COUNT(*) AS n FROM documents),
+q(num, den) AS (VALUES (25, 100), (50, 100), (90, 100), (99, 100)),
+r AS (SELECT num, den, (n.n * num + den - 1) // den AS rank
+      FROM q CROSS JOIN n),
+sel AS (SELECT r.num, r.den, MIN(cum.idx) AS idx
+        FROM r JOIN cum ON cum.cum >= r.rank GROUP BY r.num, r.den)
+SELECT num * 1.0 / den AS q,
+       CAST(CASE WHEN idx < 64 THEN idx
+            ELSE ((32 + idx % 32 + 1) << (idx // 32 - 1)) - 1
+            END AS BIGINT) AS est
+FROM sel ORDER BY q
+""",
         "doc_components": """
 WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst
            FROM documents WHERE doc_id % 5 <> 0),
