@@ -552,6 +552,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "est": pd.array([e for _, e in rows],
                                              dtype="int64")})
 
+    def cms_heavy_hitters_tokens(sf_dir):
+        """CMS-driven heavy hitters: every token whose count-min
+        estimate reaches the threshold (never an underestimate, so a
+        provable superset of the true heavy set), estimates exact
+        integers — the SQL twin reproduces the sketch cells AND the
+        min-over-rows estimates, false positives included."""
+        import ray.data as rd
+        from medcat_ray.ops.sketch import cms_heavy_hitters
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"])
+        out = cms_heavy_hitters(ds, threshold=300, depth=4,
+                                width=1 << 12).to_pandas()
+        out["est"] = out["est"].astype("int64")
+        return out.sort_values("term").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1704,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
         "doc_len_loghist": doc_len_loghist,
+        "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2157,6 +2173,12 @@ ORDER BY doc_id"""
 def _hll_grouped_oracle() -> str:
     from medcat_ray.ops.sketch import hll_grouped_oracle_sql
     return hll_grouped_oracle_sql(group_col="lang", p=12)
+
+
+def _cms_hh_oracle() -> str:
+    from medcat_ray.ops.sketch import cms_heavy_hitters_oracle_sql
+    return cms_heavy_hitters_oracle_sql(depth=4, width=1 << 12,
+                                        threshold=300)
 
 
 def _cms_oracle() -> str:
@@ -2759,6 +2781,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "dsir_doc_weights": _dsir_oracle(),
         "image_phash_pairs": _image_phash_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
+        "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "doc_bm25_scores": _bm25_oracle(),
         "inverted_index_lookup": _invindex_oracle(),
         "doc_len_loghist": """

@@ -306,3 +306,85 @@ SELECT grp AS {group_col}, CAST(bucket AS BIGINT) AS bucket,
 FROM rho GROUP BY grp, bucket
 ORDER BY {group_col}, bucket
 """
+
+
+def cms_heavy_hitters(ds: rd.Dataset, threshold: int,
+                      text_col: str = "text", depth: int = 4,
+                      width: int = 1 << 12) -> rd.Dataset:
+    """Heavy-hitter candidates via the count-min sketch: every distinct
+    token whose CMS estimate reaches ``threshold`` (a superset of the
+    true ≥-threshold set — CMS never underestimates), with its estimate.
+
+    Scale shape: the sketch itself reduces with zero shuffle
+    (:func:`cms_counts`); the candidate pass broadcasts the (depth ×
+    width) matrix and emits per-batch distinct candidates only — at most
+    total_occurrences / threshold distinct tokens can qualify, so the
+    dedup groupby carries a threshold-bounded stream, never the corpus.
+    Estimates are deterministic integers, so the DuckDB twin
+    (:func:`cms_heavy_hitters_oracle_sql`) matches exactly, false
+    positives included."""
+    import ray
+    from ray.data.aggregate import Max
+
+    M = cms_counts(ds, text_col, depth, width)
+    ref = ray.put(M)
+
+    def cand(batch: pa.Table) -> pa.Table:
+        sketch = ray.get(ref)
+        toks = set()
+        for t in batch[text_col].to_pylist():
+            toks.update((t or "").lower().split())
+        toks = sorted(toks)
+        if toks:
+            est = cms_estimate(sketch, toks)
+            keep = est >= threshold
+            terms = np.asarray(toks, dtype=object)[keep]
+            est = est[keep]
+        else:
+            terms = np.array([], dtype=object)
+            est = np.array([], dtype=np.int64)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "est": pa.array(est.astype(np.int64),
+                                         type=pa.int64())})
+
+    return ds.map_batches(cand, batch_format="pyarrow") \
+        .groupby("term").aggregate(Max("est", alias_name="est"))
+
+
+def cms_heavy_hitters_oracle_sql(table: str = "documents",
+                                 text_col: str = "text", depth: int = 4,
+                                 width: int = 1 << 12,
+                                 threshold: int = 100) -> str:
+    """SQL twin of :func:`cms_heavy_hitters`: recompute every sketch
+    cell, then each distinct token's min-over-rows estimate."""
+    from medcat_ray.ops.sql_oracle import _M64, _P, _WS_CLASS, mix64_staged
+    tok_poly = (f"list_reduce([CAST(unicode(substr(tok, i, 1)) AS HUGEINT)"
+                f" for i in generate_series(1, length(tok))],"
+                f" (acc, x) -> (acc * {_P} + x) % {_M64})")
+    toksrc = (f"(SELECT tok, COUNT(*) AS n FROM (SELECT unnest("
+              f"regexp_split_to_array(lower(COALESCE({text_col}, '')),"
+              f" '{_WS_CLASS}+')) AS tok FROM {table})"
+              f" WHERE tok <> '' GROUP BY tok)")
+    js = ", ".join(str(j) for j in range(int(depth)))
+    base = mix64_staged(toksrc, "tok, n", tok_poly, "h")
+    salted = mix64_staged(
+        f"(SELECT tok, n, h, unnest([{js}]) AS j FROM ({base}))",
+        "tok, n, j", f"(h + j) % {_M64}", "ph")
+    return f"""
+WITH cells AS (
+  SELECT j AS row, ph % {int(width)} AS bucket, SUM(n) AS cnt
+  FROM ({salted}) GROUP BY row, bucket
+),
+probes AS (
+  SELECT tok, j AS row, ph % {int(width)} AS bucket
+  FROM ({salted})
+),
+est AS (
+  SELECT p.tok, MIN(c.cnt) AS est
+  FROM probes p JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.tok
+)
+SELECT tok AS term, CAST(est AS BIGINT) AS est
+FROM est WHERE est >= {int(threshold)}
+ORDER BY term
+"""

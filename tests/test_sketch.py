@@ -131,3 +131,28 @@ def test_hll_grouped_matches_per_group_registers(ray_session):
         true = len({w for r in rows if r["grp"] == g
                     for w in r["text"].split()})
         assert abs(est[g] - true) / true < 0.15, (g, est[g], true)
+
+
+def test_cms_heavy_hitters_superset_and_exact_est(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from medcat_ray.ops.sketch import (cms_counts, cms_estimate,
+                                       cms_heavy_hitters)
+    rng = np.random.default_rng(4)
+    # heavy terms h0..h2 (200+ occurrences), light tail
+    texts = []
+    for i in range(300):
+        ws = [f"h{i % 3}"] + [f"t{rng.integers(0, 2000)}" for _ in range(8)]
+        texts.append(" ".join(ws))
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(3)
+    out = cms_heavy_hitters(ds, threshold=90, depth=4,
+                            width=1 << 10).to_pandas()
+    got = dict(zip(out["term"], out["est"]))
+    # all true heavy terms present (CMS never underestimates)
+    assert {"h0", "h1", "h2"} <= set(got)
+    # estimates equal a direct sketch probe
+    sk = cms_counts(ds, depth=4, width=1 << 10)
+    probe = cms_estimate(sk, sorted(got))
+    assert probe.tolist() == [got[t] for t in sorted(got)]
+    # estimate upper-bounds the true count
+    assert all(got[f"h{i}"] >= 100 for i in range(3))
