@@ -12,12 +12,19 @@ them exactly SQL-checkable (offsets via cumulative-length window sums).
 Relational queries exercise groupby-aggregate, broadcast joins, sort/limit,
 tumbling/sliding windows, as-of and range joins, grouped top-k and exact
 quantiles; ops queries cover the dedup family (exact/minhash/simhash/
-jaccard/embedding/span/url), text stats + cleaning (C4), decontamination,
-LM perplexity, mixture sampling, keywords, similarity search, language ID
-and multimodal decode — all oracle-checked, including the HTML pages
-flagship (byte-identity text column).  The only rows-only queries are
-``multimodal_image_stub`` and ``cdb_stats`` (constant outputs with no
-table-derivable oracle).
+jaccard/embedding/span/url/substring/bloom/semantic), text stats +
+cleaning (C4), decontamination, LM perplexity, mixture + exact-N
+sampling, keywords, BM25, DSIR importance weighting, similarity search
+(brute/LSH/IVF/indexed-IVF/PQ), distributed spherical k-means, exact
+integer PageRank, connected components, language ID, PII redaction,
+sequence packing, sketches (HLL, grouped HLL, count-min, CMS heavy
+hitters, log-bucket histogram quantiles), a write-time partitioned
+inverted index, multimodal decode and image perceptual-hash near-dup —
+all oracle-checked, including the HTML pages flagship (byte-identity
+text column).  The only rows-only queries are ``multimodal_image_stub``
+and ``cdb_stats`` (constant outputs with no table-derivable oracle) and
+``kg_meta_bilstm`` / ``kg_rel_bert`` (numpy NN forwards — not
+SQL-expressible).
 """
 
 from __future__ import annotations
