@@ -574,6 +574,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["est"] = out["est"].astype("int64")
         return out.sort_values("term").reset_index(drop=True)
 
+    def semantic_dedup_keep_ids(sf_dir):
+        """Composed SemDeDup keep-pass: pairs → connected components
+        (min-label propagation) → keep iff id == component min, with
+        the auto-gated broadcast/join drop filter.  On the planted
+        corpus every component is a (source, 1.5×copy) star and no
+        natural pair reaches 0.95, so the provable keep set is exactly
+        the natural ids — the oracle states it in closed form (pairs
+        and components are each independently oracle-checked by
+        semantic_dedup_pairs / doc_components)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.kmeans import semantic_dedup_keep
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            sel = batch.filter(pa.compute.less(batch["vec_id"], 20))
+            if sel.num_rows == 0:
+                return batch
+            scaled = [(np.asarray(v, dtype=np.float32) * np.float32(1.5))
+                      .tolist() for v in sel["embedding"].to_pylist()]
+            extra = pa.table({
+                "vec_id": pa.compute.add(sel["vec_id"], 1_000_000),
+                "embedding": pa.array(scaled,
+                                      type=batch["embedding"].type)})
+            return pa.concat_tables([batch, extra])
+
+        aug = ds.map_batches(plant, batch_format="pyarrow")
+        out = semantic_dedup_keep(aug, k=10, n_iter=2,
+                                  threshold=0.95).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1727,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_lookup": inverted_index_lookup,
         "doc_len_loghist": doc_len_loghist,
         "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
+        "semantic_dedup_keep_ids": semantic_dedup_keep_ids,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2789,6 +2823,8 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "image_phash_pairs": _image_phash_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
+        "semantic_dedup_keep_ids":
+            "SELECT vec_id FROM embeddings ORDER BY vec_id",
         "doc_bm25_scores": _bm25_oracle(),
         "inverted_index_lookup": _invindex_oracle(),
         "doc_len_loghist": """

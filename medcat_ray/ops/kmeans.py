@@ -247,3 +247,78 @@ def semantic_dedup_pairs(ds: rd.Dataset, k: int, n_iter: int = 2,
 
     return assigned.groupby("cluster").map_groups(pairs,
                                                   batch_format="pandas")
+
+
+def semantic_dedup_keep(ds: rd.Dataset, k: int, n_iter: int = 2,
+                        threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        method: str = "auto",
+                        broadcast_limit: int = 1_000_000,
+                        num_partitions: int = 4,
+                        **pair_kwargs) -> rd.Dataset:
+    """Full SemDeDup keep-pass: near-dup pairs → connected components
+    (min-label propagation) → every row keeps iff it IS its component's
+    minimum id (rows in no near-dup pair always keep).  Returns the
+    surviving (id) rows.
+
+    The drop set is component-membership-sized (∝ near-dup rate), so it
+    is auto-gated like exact_dedup: ``ray.put`` + per-batch probe below
+    ``broadcast_limit``, a left-outer hash join above — nothing
+    corpus-sized on the driver either way."""
+    import pyarrow.compute as pc
+
+    import ray
+    from medcat_ray.ops.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(ds, k, n_iter=n_iter,
+                                 threshold=threshold, id_col=id_col,
+                                 vec_col=vec_col, **pair_kwargs)
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b",
+                                num_partitions=num_partitions)
+
+    def drops_only(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.equal(batch["node"], batch["component"]))
+        return batch.filter(mask).select(["node"])
+
+    drop_ds = comp.map_batches(drops_only,
+                               batch_format="pyarrow").materialize()
+    if method == "auto":
+        method = "broadcast" if drop_ds.count() <= broadcast_limit \
+            else "join"
+
+    if method == "join":
+        if drop_ds.count() == 0:
+            return ds.map_batches(lambda b: b.select([id_col]),
+                                  batch_format="pyarrow")
+
+        def as_key(batch: pa.Table) -> pa.Table:
+            return pa.table({id_col: batch["node"],
+                             "is_dup": pa.array([True] * batch.num_rows,
+                                                type=pa.bool_())})
+
+        keyed = drop_ds.map_batches(as_key, batch_format="pyarrow") \
+            .repartition(num_partitions)
+        joined = ds.map_batches(lambda b: b.select([id_col]),
+                                batch_format="pyarrow") \
+            .join(keyed, join_type="left_outer",
+                  num_partitions=num_partitions, on=(id_col,))
+        return joined.map_batches(
+            lambda b: b.filter(pc.is_null(b["is_dup"]))
+            .select([id_col]), batch_format="pyarrow")
+
+    import numpy as np
+    drops = np.sort(np.array([r["node"] for r in drop_ds.take_all()]))
+    dref = ray.put(drops)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(dr) == 0:
+            mask = np.ones(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(dr, ids), len(dr) - 1)
+            mask = dr[pos] != ids
+        return batch.select([id_col]).filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -107,3 +107,23 @@ def test_semantic_dedup_cluster_cap(ray_session):
     with pytest.raises(Exception, match="max_cluster_rows"):
         semantic_dedup_pairs(ds, k=1, n_iter=1, threshold=0.9,
                              max_cluster_rows=10).to_pandas()
+
+
+def test_semantic_dedup_keep_both_paths(ray_session):
+    """keep = id == component min on transitive near-dup chains;
+    broadcast and join paths agree."""
+    import numpy as np
+    from medcat_ray.ops.kmeans import semantic_dedup_keep
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(40, 12)) * 2
+    rows = [{"vec_id": int(i), "embedding": vecs[i].tolist()}
+            for i in range(40)]
+    # chain 5 -> 105 -> 205 (scaled copies): one component, keeper 5
+    rows += [{"vec_id": 105, "embedding": (vecs[5] * 2.0).tolist()},
+             {"vec_id": 205, "embedding": (vecs[5] * 3.0).tolist()}]
+    ds = rd.from_items(rows).repartition(3)
+    for method in ("broadcast", "join"):
+        out = semantic_dedup_keep(ds, k=4, n_iter=2, threshold=0.999,
+                                  method=method).to_pandas()
+        kept = sorted(out["vec_id"])
+        assert kept == sorted(range(40)), (method, kept)
