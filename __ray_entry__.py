@@ -607,6 +607,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   threshold=0.95).to_pandas()
         return out.sort_values("vec_id").reset_index(drop=True)
 
+    def kg_triangles(sf_dir):
+        """Per-concept triangle counts of the co-occurrence KG
+        (ops/triangles.py — canonical-edge dedup, wedge join, closing
+        join; the clustering-structure signal for the concept graph).
+        The oracle recomputes the same two-join plan in SQL over the
+        ents CTE."""
+        from medcat_ray.ops.triangles import triangle_counts
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(sf_dir), window=300,
+                                 key_column="doc_id", mode="tree")
+        out = triangle_counts(edges, src_col="subj_cui",
+                              dst_col="obj_cui").to_pandas()
+        out = out.rename(columns={"node": "cui"})
+        out["triangles"] = out["triangles"].astype("int64")
+        return out.sort_values("cui").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1761,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_loghist": doc_len_loghist,
         "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
         "semantic_dedup_keep_ids": semantic_dedup_keep_ids,
+        "kg_triangles": kg_triangles,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -1856,6 +1874,28 @@ FROM afin a JOIN afin b ON a.cluster = b.cluster AND a.id < b.id
 JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
 WHERE list_cosine_similarity(ea.v, eb.v) >= 0.95
 ORDER BY id_a, id_b"""
+
+
+def _triangles_oracle() -> str:
+    from medcat_ray.pipelines.docs_kg import TOKEN_CTE, concept_values_sql
+    return TOKEN_CTE.format(concepts=concept_values_sql()) + """
+, e AS (
+  SELECT DISTINCT LEAST(s.cui, o.cui) AS a, GREATEST(s.cui, o.cui) AS b
+  FROM ents s JOIN ents o
+    ON s.doc_id = o.doc_id
+   AND o.start_pos > s.start_pos
+   AND o.start_pos - s.start_pos <= 300
+   AND s.source_value <> o.source_value
+  WHERE s.cui <> o.cui),
+w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+t AS (SELECT w.a, w.b, w.c FROM w JOIN e e3
+      ON e3.a = w.a AND e3.b = w.c),
+corners AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+SELECT node AS cui, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY node ORDER BY cui"""
 
 
 def _pagerank_oracle() -> str:
@@ -2825,6 +2865,7 @@ FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "semantic_dedup_keep_ids":
             "SELECT vec_id FROM embeddings ORDER BY vec_id",
+        "kg_triangles": _triangles_oracle(),
         "doc_bm25_scores": _bm25_oracle(),
         "inverted_index_lookup": _invindex_oracle(),
         "doc_len_loghist": """
