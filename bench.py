@@ -348,6 +348,16 @@ def run_bench() -> dict:
             rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                             columns=["lang", "text"]), "lang").count())
 
+    def _triangles():
+        from medcat_ray.ops.triangles import triangle_counts
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(SF_DIR), window=300,
+                                 key_column="doc_id", mode="tree")
+        triangle_counts(edges, src_col="subj_cui",
+                        dst_col="obj_cui").count()
+    timed("kg_triangles", _triangles)
+
     def _invindex():
         import tempfile
         from medcat_ray.ops.invindex import (build_inverted_index,
