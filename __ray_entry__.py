@@ -71,6 +71,29 @@ def _cached_build(final_dir: str, build_fn, done_file: str) -> str:
     return final_dir
 
 
+_BPE_WORDS_SRC_SQL = (
+    "SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+    "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
+    "FROM documents) GROUP BY word")
+_BPE_N_MERGES = 8
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_model(sf_dir: str) -> tuple:
+    """Learn the BPE model once per source fingerprint; the three bpe_*
+    queries share it.  The vocab to_pandas is sweep-scale convenience —
+    ops/bpe.bpe_learn itself keeps the vocabulary distributed."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = _source_tag(docs_path)
+    if key not in _BPE_CACHE:
+        import ray.data as rd
+        from medcat_ray.ops.bpe import bpe_learn
+        ds = rd.read_parquet(docs_path, columns=["text"])
+        merges, vocab = bpe_learn(ds, n_merges=_BPE_N_MERGES)
+        _BPE_CACHE[key] = (merges, vocab.to_pandas())
+    return _BPE_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -338,6 +361,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = ds.map_batches(plant, batch_format="pyarrow")
         out = embedding_near_dups(aug, threshold=0.95).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def bpe_merges(sf_dir):
+        """Distributed BPE merge learning (ops/bpe.py, Sennrich et al.
+        2016): the corpus is touched exactly once (distinct-word
+        combiner → native groupby-Sum histogram); each of the 8 merge
+        rounds is a VOCAB-sized pair-count groupby + argmax + one apply
+        pass, and only the rules live on the driver.  The DuckDB twin
+        unrolls the identical rounds (same count-desc/lex-asc tie-break,
+        same left-to-right replace semantics)."""
+        import pandas as pd
+        merges, _ = _bpe_model(sf_dir)
+        return pd.DataFrame(
+            [{"merge_idx": i + 1, "s1": a, "s2": b, "cnt": c}
+             for i, (a, b, c) in enumerate(merges)])
+
+    def bpe_word_segments(sf_dir):
+        """Final BPE segmentation of the word vocabulary after 8 merges
+        (word, freq, seg) — the learned subword lexicon.  bpe_learn
+        keeps this as a Dataset at corpus scale; the sweep-sized
+        to_pandas here is the driver-compare convenience only."""
+        _, vocab = _bpe_model(sf_dir)
+        return vocab.sort_values("word").reset_index(drop=True)
+
+    def bpe_encode_tokens(sf_dir):
+        """Apply the learned merges to every document (ops/bpe.bpe_encode,
+        broadcast rule list + per-batch word-segmentation memo) →
+        (doc_id, n_tokens, n_distinct_tokens).  Oracle joins doc words
+        against the unrolled final segmentation."""
+        import ray.data as rd
+        from medcat_ray.ops.bpe import bpe_encode
+        merges, _ = _bpe_model(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        out = bpe_encode(ds, merges).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
 
     def kmeans_doc_clusters(sf_dir):
         """Distributed spherical k-means (ops/kmeans.py): full-corpus
@@ -1766,6 +1824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "knn_top10": knn_top10,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "bpe_merges": bpe_merges,
+        "bpe_word_segments": bpe_word_segments,
+        "bpe_encode_tokens": bpe_encode_tokens,
         "kmeans_doc_clusters": kmeans_doc_clusters,
         "semantic_dedup_pairs": semantic_dedup_pairs,
         "kg_pagerank": kg_pagerank,
@@ -1846,6 +1907,12 @@ SELECT CAST(0 AS BIGINT) AS query_id, a.vec_id AS neighbor_id,
 FROM aug a, q
 ORDER BY score DESC, neighbor_id ASC LIMIT 10
 """
+
+
+def _bpe_oracle(select: str) -> str:
+    from medcat_ray.ops.sql_oracle import bpe_sql
+    return "WITH " + bpe_sql(_BPE_WORDS_SRC_SQL, _BPE_N_MERGES) + \
+        "\n" + select
 
 
 def _kmeans_oracle() -> str:
@@ -2856,6 +2923,27 @@ SELECT p.id_a, p.id_b,
        END AS jaccard
 FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
 """,
+        "bpe_merges": _bpe_oracle(
+            "SELECT merge_idx, s1, s2, cnt FROM merges ORDER BY merge_idx"),
+        "bpe_word_segments": _bpe_oracle(f"""
+SELECT word, freq, array_to_string(string_split(
+    substr(ws, 2, length(ws) - 2), chr(31) || chr(31)), ' ') AS seg
+FROM r{_BPE_N_MERGES} ORDER BY word"""),
+        "bpe_encode_tokens": _bpe_oracle(f"""
+, segf AS (SELECT word, string_split(substr(ws, 2, length(ws) - 2),
+                                     chr(31) || chr(31)) AS l
+           FROM r{_BPE_N_MERGES}),
+dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                '[a-z0-9]+')) AS word
+       FROM documents),
+flat AS (SELECT d.doc_id, unnest(s.l) AS sym
+         FROM dw d JOIN segf s USING (word)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct_tokens
+        FROM flat GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct_tokens, 0) AS n_distinct_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
         "kmeans_doc_clusters": _kmeans_oracle(),
         "semantic_dedup_pairs": _semantic_dedup_oracle(),
         "kg_pagerank": _pagerank_oracle(),

@@ -482,3 +482,45 @@ def pagerank_sql(edges_sql: str, n_iter: int = 3, scale: int = 10 ** 9,
   LEFT JOIN outd o ON o.src = e.src
   GROUP BY n.node)""")
     return ",\n".join(parts)
+
+
+def bpe_sql(words_src: str, n_merges: int) -> str:
+    """Unrolled DuckDB twin of ops.bpe.bpe_learn.  ``words_src`` must
+    yield (word, freq BIGINT).  Emits CTEs ending in ``merges(merge_idx,
+    s1, s2, cnt)`` and ``r{n_merges}(word, freq, ws)`` where ``ws`` is
+    the U+001F-wrapped symbol string; the caller appends its SELECT.
+
+    The merge application is one non-overlapping left-to-right
+    ``replace`` over the wrapped string — exactly ops.bpe.merge_symbols
+    (a freshly merged token can't left-match the same rule since rules
+    have a non-empty right part, and delimiter wrapping means matches
+    never share characters)."""
+    u = "chr(31)"
+    parts = [
+        f"words AS ({words_src})",
+        f"r0 AS (SELECT word, freq, {u} || array_to_string("
+        f"regexp_extract_all(word, '.'), {u} || {u}) || {u} AS ws "
+        "FROM words)"]
+    for r in range(1, n_merges + 1):
+        prev = f"r{r - 1}"
+        parts.append(
+            f"l{r} AS (SELECT freq, string_split(substr(ws, 2, "
+            f"length(ws) - 2), {u} || {u}) AS l FROM {prev})")
+        parts.append(
+            f"x{r} AS (SELECT unnest(generate_series(1, len(l) - 1)) "
+            f"AS i, l, freq FROM l{r} WHERE len(l) >= 2)")
+        parts.append(
+            f"p{r} AS (SELECT l[i] AS s1, l[i + 1] AS s2, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt FROM x{r} GROUP BY 1, 2)")
+        parts.append(
+            f"m{r} AS (SELECT s1, s2, cnt FROM p{r} "
+            "ORDER BY cnt DESC, s1, s2 LIMIT 1)")
+        parts.append(
+            f"r{r} AS (SELECT w.word, w.freq, replace(w.ws, "
+            f"{u} || m.s1 || {u} || {u} || m.s2 || {u}, "
+            f"{u} || m.s1 || m.s2 || {u}) AS ws FROM {prev} w, m{r} m)")
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS merge_idx, s1, s2, cnt FROM m{r}"
+        for r in range(1, n_merges + 1))
+    parts.append(f"merges AS ({union})")
+    return ",\n".join(parts)
