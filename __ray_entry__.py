@@ -682,6 +682,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["triangles"] = out["triangles"].astype("int64")
         return out.sort_values("cui").reset_index(drop=True)
 
+    def kg_isa_depth(sf_dir):
+        """Distributed BFS hierarchy depth (ops/bfs.py) — the reference's
+        ISA-hierarchy walks (pt2ch / get_all_children,
+        medcat/utils/preprocess_snomed.py) as a corpus-scale operator:
+        min #edges from the root set via per-round join + groupby-Min.
+        The planted DAG is pure doc_id arithmetic — tree edges
+        (d//3 -> d) for every doc plus shortcut edges (d//2 -> d) when
+        d % 7 == 0, so multiple paths reach multiples of 7 and the Min
+        genuinely decides — and the oracle is the standard recursive
+        CTE over the same two edge sets."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.bfs import bfs_levels
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])
+
+        def mk_edges(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            t = d[d >= 1]
+            s = d[(d >= 2) & (d % 7 == 0)]
+            return pa.table({
+                "src": pa.array(np.concatenate([t // 3, s // 2]),
+                                type=pa.int64()),
+                "dst": pa.array(np.concatenate([t, s]), type=pa.int64())})
+
+        edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+        out = bfs_levels(edges).to_pandas()
+        out["node"] = out["node"].astype("int64")
+        out["depth"] = out["depth"].astype("int64")
+        return out.sort_values("node").reset_index(drop=True)
+
     def _plant_query_copies(batch):
         """Append 9 positively-scaled copies of vector 0 (vec_id
         3000000+i).  Scaling preserves direction, so each copy has cosine
@@ -1840,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters_tokens": cms_heavy_hitters_tokens,
         "semantic_dedup_keep_ids": semantic_dedup_keep_ids,
         "kg_triangles": kg_triangles,
+        "kg_isa_depth": kg_isa_depth,
         "knn_lsh_top10": knn_lsh_top10,
         "knn_pq_top10": knn_pq_top10,
         "knn_ivf_top10": knn_ivf_top10,
@@ -2954,6 +2987,22 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
         "semantic_dedup_keep_ids":
             "SELECT vec_id FROM embeddings ORDER BY vec_id",
         "kg_triangles": _triangles_oracle(),
+        "kg_isa_depth": """
+WITH RECURSIVE e AS (
+  SELECT doc_id // 3 AS src, doc_id AS dst FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT doc_id // 2 AS src, doc_id AS dst FROM documents
+  WHERE doc_id >= 2 AND doc_id % 7 = 0),
+roots AS (
+  SELECT DISTINCT src AS node FROM e
+  WHERE src NOT IN (SELECT dst FROM e)),
+d AS (SELECT node, 0 AS depth FROM roots
+      UNION
+      SELECT e.dst, d.depth + 1 FROM d JOIN e ON e.src = d.node
+      WHERE d.depth < 64)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+FROM d GROUP BY node ORDER BY node
+""",
         "doc_bm25_scores": _bm25_oracle(),
         "inverted_index_lookup": _invindex_oracle(),
         "doc_len_loghist": """

@@ -358,6 +358,25 @@ def run_bench() -> dict:
                         dst_col="obj_cui").count()
     timed("kg_triangles", _triangles)
 
+    def _bfs():
+        import numpy as np
+        import pyarrow as pa
+        from medcat_ray.ops.bfs import bfs_levels
+        ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                             columns=["doc_id"])
+
+        def mk_edges(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            t = d[d >= 1]
+            s = d[(d >= 2) & (d % 7 == 0)]
+            return pa.table({
+                "src": pa.array(np.concatenate([t // 3, s // 2]),
+                                type=pa.int64()),
+                "dst": pa.array(np.concatenate([t, s]), type=pa.int64())})
+
+        bfs_levels(ds.map_batches(mk_edges, batch_format="pyarrow")).count()
+    timed("bfs_levels", _bfs)
+
     def _invindex():
         import tempfile
         from medcat_ray.ops.invindex import (build_inverted_index,
