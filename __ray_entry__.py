@@ -548,6 +548,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["hamming"] = out["hamming"].astype("int64")
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def audio_fp_pairs(sf_dir):
+        """Audio near-dup: REAL stdlib WAV decode → integer-only 64-bit
+        energy-envelope fingerprint (proportional 64-segment binning,
+        floor-mean threshold — ops/multimodal.py:audio_fp64) on an actor
+        pool → the signature-agnostic SimHash 3-of-6-block candidate
+        machinery (exact for Hamming ≤ 3).  Planted block waves are pure
+        doc_id arithmetic — exact sample copies (Hamming 0) and
+        one-segment-boosted variants — so segment energies equal the
+        block amplitudes exactly and the oracle recomputes every
+        fingerprint and brute-forces the same criterion in SQL."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.multimodal import (audio_near_dup_pairs,
+                                               encode_wav)
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch["doc_id"].to_pylist():
+                rows.append((i, i, 0))
+                if i < 20:
+                    rows.append((i + 1_000_000, i, 0))
+                elif i < 30:
+                    rows.append((i + 2_000_000, i, 1))
+            ids, data = [], []
+            k = np.arange(64, dtype=np.int64)
+            for nid, src, variant in rows:
+                amps = (src * 131 + k * k * 7) % 9973 + 10
+                if variant:
+                    amps = amps.copy()
+                    amps[src % 64] = 15000
+                data.append(encode_wav(np.repeat(amps, 32)))
+                ids.append(nid)
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "data": pa.array(data, type=pa.binary())})
+
+        clips = docs.map_batches(plant, batch_format="pyarrow")
+        out = audio_near_dup_pairs(clips, strict=True).to_pandas()
+        out["hamming"] = out["hamming"].astype("int64")
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def hll_tokens_by_lang(sf_dir):
         """GROUPED HyperLogLog: distinct-token registers per lang via
         sparse per-batch partials and a NATIVE groupby(lang, bucket).Max
@@ -1865,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_doc_weights": dsir_doc_weights,
         "doc_components": doc_components,
         "image_phash_pairs": image_phash_pairs,
+        "audio_fp_pairs": audio_fp_pairs,
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
@@ -2073,6 +2117,41 @@ hh AS (
          SUM(CASE WHEN s.g > mm.m THEN p.pw ELSE 0::HUGEINT END) AS h
   FROM samp s JOIN mm USING (id)
   JOIN pow2 p ON p.b = s.yy * 8 + s.xx
+  GROUP BY s.id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) AS BIGINT)
+         AS hamming
+FROM hh a JOIN hh b ON a.id < b.id
+WHERE bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
+ORDER BY id_a, id_b"""
+
+
+def _audio_fp_oracle() -> str:
+    pow2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, doc_id AS src, 0 AS variant FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id, 0 FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id, 1 FROM documents
+  WHERE doc_id >= 20 AND doc_id < 30
+),
+seg AS (
+  SELECT base.id, g.k,
+         CASE WHEN base.variant = 1 AND g.k = base.src % 64 THEN 15000
+              ELSE (base.src * 131 + g.k * g.k * 7) % 9973 + 10
+         END AS a
+  FROM base CROSS JOIN generate_series(0, 63) AS g(k)
+),
+mm AS (SELECT id, SUM(a) // 64 AS m FROM seg GROUP BY id),
+pow2(b, pw) AS (VALUES {pow2}),
+hh AS (
+  SELECT s.id,
+         SUM(CASE WHEN s.a > mm.m THEN p.pw ELSE 0::HUGEINT END) AS h
+  FROM seg s JOIN mm USING (id)
+  JOIN pow2 p ON p.b = s.k
   GROUP BY s.id
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -2982,6 +3061,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
         "kg_pagerank": _pagerank_oracle(),
         "dsir_doc_weights": _dsir_oracle(),
         "image_phash_pairs": _image_phash_oracle(),
+        "audio_fp_pairs": _audio_fp_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "semantic_dedup_keep_ids":

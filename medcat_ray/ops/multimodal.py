@@ -591,3 +591,135 @@ def image_near_dup_pairs(ds: rd.Dataset, data_col: str = "data",
     hashed = add_image_ahash(ds, data_col, id_col, strict, concurrency)
     return simhash_candidates(hashed, id_col=id_col, method=method,
                               sig_col="ahash")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting: 64-bit energy-envelope hash over PCM WAV —
+# the audio-modality twin of ahash64 (same floor-mean threshold rule,
+# same signature-agnostic candidate machinery downstream).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as PCM WAV (the test/plant encoder
+    complement of :func:`decode_wav`, like encode_ppm / encode_avi)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.ascontiguousarray(
+            samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_int(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode PCM WAV to INTEGER mono samples (int64) + rate — the
+    integer-exact twin of :func:`decode_wav` for fingerprinting:
+    16-bit stays raw int16, 8-bit is centered (-128), multi-channel
+    collapses by floor-division mean, so every downstream value is
+    SQL-reproducible bit-for-bit.  None for non-WAV payloads."""
+    import io
+    import wave
+    if not data or data[:4] != b"RIFF":
+        return None
+    with wave.open(io.BytesIO(data)) as wf:
+        n, width, nch = wf.getnframes(), wf.getsampwidth(), wf.getnchannels()
+        raw = wf.readframes(n)
+        rate = wf.getframerate()
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).sum(axis=1) // nch
+    return samples, rate
+
+
+def audio_fp64(samples: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint of integer PCM samples,
+    INTEGER-ONLY arithmetic (SQL-reproducible bit-for-bit):
+
+    * sample p of n belongs to segment ``(p * 64) // n`` (proportional
+      binning — one closed-form rule for any length, no array_split
+      remainder cases);
+    * per-segment energy = floor-mean of \\|amplitude\\|
+      (``sum(abs) // count``);
+    * bit k = 1 iff segment k's energy > floor-mean of the 64 segment
+      energies — the same midpoint rule as :func:`ahash64`, which makes
+      the fingerprint invariant to silence padding at equal proportions
+      and to global DC sign flips.
+    """
+    s = np.abs(samples.astype(np.int64))
+    n = len(s)
+    if n == 0:
+        return 0
+    idx = (np.arange(n, dtype=np.int64) * 64) // n
+    sums = np.bincount(idx, weights=None, minlength=64).astype(np.int64)
+    esum = np.bincount(idx, weights=s.astype(np.float64),
+                       minlength=64).astype(np.int64)
+    # bincount with float weights is exact for |values| < 2^53 per cell
+    e = np.where(sums > 0, esum // np.maximum(sums, 1), 0)
+    m = int(e.sum()) // 64
+    bits = (e > m).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: binary audio → int64 ``afp`` column (stdlib
+    WAV decode; non-WAV payloads raise under ``strict=True``, else are
+    dropped from the fingerprint stream)."""
+
+    def __init__(self, data_col: str = "data", id_col: str = "doc_id",
+                 strict: bool = False) -> None:
+        self.data_col = data_col
+        self.id_col = id_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, data in zip(batch[self.id_col].to_pylist(),
+                           batch[self.data_col].to_pylist()):
+            dec = decode_wav_int(data)
+            if dec is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "payload is not PCM WAV; cannot fingerprint")
+                continue
+            ids.append(i)
+            fps.append(np.uint64(audio_fp64(dec[0])).view(np.int64)
+                       .item())
+        return pa.table({self.id_col: pa.array(
+            ids, type=batch[self.id_col].type),
+            "afp": pa.array(fps, type=pa.int64())})
+
+
+def add_audio_fingerprint(ds: rd.Dataset, data_col: str = "data",
+                          id_col: str = "doc_id", strict: bool = False,
+                          concurrency: int = 2,
+                          batch_size: int = 64) -> rd.Dataset:
+    return ds.map_batches(AudioFingerprintStage,
+                          fn_constructor_kwargs=dict(
+                              data_col=data_col, id_col=id_col,
+                              strict=strict),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def audio_near_dup_pairs(ds: rd.Dataset, data_col: str = "data",
+                         id_col: str = "doc_id", strict: bool = False,
+                         concurrency: int = 2,
+                         method: str = "auto") -> rd.Dataset:
+    """Audio near-duplicate candidate pairs: energy-envelope fingerprint
+    on an actor pool, then the signature-agnostic SimHash 3-of-6-block
+    machinery (exact for Hamming ≤ 3, singleton buckets pruned
+    natively) — the audio-modality twin of image_near_dup_pairs."""
+    from medcat_ray.ops.dedup import simhash_candidates
+    hashed = add_audio_fingerprint(ds, data_col, id_col, strict,
+                                   concurrency)
+    return simhash_candidates(hashed, id_col=id_col, method=method,
+                              sig_col="afp")

@@ -236,3 +236,66 @@ def test_image_ahash_strict_raises(ray_session):
         add_image_ahash(ds, strict=True).take_all()
     # non-strict: row silently dropped from the hash stream
     assert add_image_ahash(ds, strict=False).count() == 0
+
+
+def test_audio_fp64_hand_computed():
+    """64-segment block wave: segment energies equal the block amplitudes
+    exactly, bits follow the floor-mean midpoint rule."""
+    from medcat_ray.ops.multimodal import audio_fp64
+    amps = np.array([(k * k * 7 + 13) % 1000 for k in range(64)],
+                    dtype=np.int64)
+    samples = np.repeat(amps, 32)        # n = 2048, segment = p // 32
+    m = int(amps.sum()) // 64
+    want = sum(1 << k for k in range(64) if amps[k] > m)
+    assert audio_fp64(samples) == want
+    # |amplitude|: a global sign flip leaves the fingerprint unchanged
+    assert audio_fp64(-samples) == want
+    assert audio_fp64(np.array([], dtype=np.int64)) == 0
+
+
+def test_decode_wav_int_exact_and_stereo():
+    import io
+    import wave as wmod
+    from medcat_ray.ops.multimodal import decode_wav_int, encode_wav
+    s = np.array([-32768, -1, 0, 1, 32767], dtype=np.int64)
+    got, rate = decode_wav_int(encode_wav(s, rate=16000))
+    assert rate == 16000 and np.array_equal(got, s)
+    # stereo collapses by floor-division mean
+    buf = io.BytesIO()
+    with wmod.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        inter = np.array([10, 21, -5, -6], dtype="<i2")  # 2 frames
+        wf.writeframes(inter.tobytes())
+    got, _ = decode_wav_int(buf.getvalue())
+    assert got.tolist() == [(10 + 21) // 2, (-5 + -6) // 2]
+    assert decode_wav_int(b"not audio") is None
+
+
+def test_audio_near_dup_pairs_planted(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.multimodal import (audio_near_dup_pairs,
+                                           encode_wav)
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(12):
+        s = rng.integers(-3000, 3000, size=2048).astype(np.int64)
+        rows.append({"doc_id": i, "data": encode_wav(s)})
+        if i < 3:      # exact sample copies -> hamming 0
+            rows.append({"doc_id": 100 + i, "data": encode_wav(s)})
+    ds = rd.from_items(rows).repartition(3)
+    out = audio_near_dup_pairs(ds, strict=True).to_pandas()
+    zero = out[out["hamming"] == 0]
+    assert {(int(a), int(b)) for a, b in zip(zero["id_a"], zero["id_b"])} \
+        >= {(0, 100), (1, 101), (2, 102)}
+    assert (out["hamming"] <= 3).all()
+
+
+def test_audio_fingerprint_strict_raises(ray_session):
+    import ray.data as rd
+    from medcat_ray.ops.multimodal import add_audio_fingerprint
+    ds = rd.from_items([{"doc_id": 0, "data": b"not audio"}])
+    with pytest.raises(Exception, match="WAV"):
+        add_audio_fingerprint(ds, strict=True).take_all()
+    assert add_audio_fingerprint(ds, strict=False).count() == 0
