@@ -591,6 +591,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["hamming"] = out["hamming"].astype("int64")
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def name_similarity_join(sf_dir):
+        """Similarity (fuzzy-string) join (ops/simjoin.py) — part names
+        vs a planted catalogue of exact copies, last-char truncations
+        and suffixed variants: MinHash band keys on BOTH sides (same
+        seed), one hash join on (band, band_hash) for candidates, two
+        hash joins to bring texts to pairs, exact 5-shingle Jaccard at
+        0.5.  The oracle recomputes both sides' band keys bit-for-bit
+        (sql_oracle.similarity_join_oracle_sql) and re-scores with
+        plain-substring shingles."""
+        import pyarrow as pa
+        import ray.data as rd
+        from medcat_ray.ops.simjoin import similarity_join
+        parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                                columns=["p_partkey", "p_name"])
+
+        def as_left(batch: pa.Table) -> pa.Table:
+            return pa.table({"pid": batch["p_partkey"],
+                             "name": batch["p_name"]})
+
+        def plant_right(batch: pa.Table) -> pa.Table:
+            ids, names = [], []
+            for k, n in zip(batch["p_partkey"].to_pylist(),
+                            batch["p_name"].to_pylist()):
+                if k % 7 == 0:
+                    ids.append(k + 1_000_000)
+                    names.append(n)                 # exact copy
+                elif k % 7 == 1:
+                    ids.append(k + 2_000_000)
+                    names.append(n[:-1])            # truncated
+                elif k % 7 == 2:
+                    ids.append(k + 3_000_000)
+                    names.append(n + " zz")         # suffixed
+            return pa.table({"rid": pa.array(ids, type=pa.int64()),
+                             "name": pa.array(names, type=pa.string())})
+
+        left = parts.map_batches(as_left, batch_format="pyarrow")
+        right = parts.map_batches(plant_right, batch_format="pyarrow")
+        out = similarity_join(left, right, threshold=0.5, k=5,
+                              left_id="pid", left_text="name",
+                              right_id="rid", right_text="name") \
+            .to_pandas()
+        out["id_l"] = out["id_l"].astype("int64")
+        out["id_r"] = out["id_r"].astype("int64")
+        return out.sort_values(["id_l", "id_r"]).reset_index(drop=True)
+
     def hll_tokens_by_lang(sf_dir):
         """GROUPED HyperLogLog: distinct-token registers per lang via
         sparse per-batch partials and a NATIVE groupby(lang, bucket).Max
@@ -1909,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_components": doc_components,
         "image_phash_pairs": image_phash_pairs,
         "audio_fp_pairs": audio_fp_pairs,
+        "name_similarity_join": name_similarity_join,
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
@@ -2160,6 +2206,23 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM hh a JOIN hh b ON a.id < b.id
 WHERE bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
 ORDER BY id_a, id_b"""
+
+
+def _simjoin_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import similarity_join_oracle_sql
+    left = "SELECT p_partkey AS id, p_name AS text FROM part"
+    right = """
+SELECT p_partkey + 1000000 AS id, p_name AS text FROM part
+WHERE p_partkey % 7 = 0
+UNION ALL
+SELECT p_partkey + 2000000, substr(p_name, 1, length(p_name) - 1)
+FROM part WHERE p_partkey % 7 = 1
+UNION ALL
+SELECT p_partkey + 3000000, p_name || ' zz'
+FROM part WHERE p_partkey % 7 = 2"""
+    return similarity_join_oracle_sql(left, right, threshold=0.5,
+                                      shingle_k=5) + \
+        "\nORDER BY id_l, id_r"
 
 
 def _minhash_oracle() -> str:
@@ -3062,6 +3125,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
         "dsir_doc_weights": _dsir_oracle(),
         "image_phash_pairs": _image_phash_oracle(),
         "audio_fp_pairs": _audio_fp_oracle(),
+        "name_similarity_join": _simjoin_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "semantic_dedup_keep_ids":

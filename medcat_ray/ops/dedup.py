@@ -216,7 +216,7 @@ class MinHashStage:
 def minhash_buckets(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                     shingle_k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text",
-                    concurrency: int = 4) -> rd.Dataset:
+                    concurrency: int = 4, seed: int = 1) -> rd.Dataset:
     """(id, band, band_hash) rows — the exploded LSH index.
 
     Runs as a TASK pool, not an actor pool: the only per-worker state is
@@ -226,7 +226,7 @@ def minhash_buckets(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
     del concurrency  # task pool: scheduler-managed parallelism
     stage = MinHashStage(num_perm=num_perm, bands=bands,
                          shingle_k=shingle_k, id_col=id_col,
-                         text_col=text_col)
+                         text_col=text_col, seed=seed)
     return ds.map_batches(stage, batch_format="pyarrow")
 
 

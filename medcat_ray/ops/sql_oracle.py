@@ -524,3 +524,135 @@ def bpe_sql(words_src: str, n_merges: int) -> str:
         for r in range(1, n_merges + 1))
     parts.append(f"merges AS ({union})")
     return ",\n".join(parts)
+
+
+def shingle_cte_sql_prefixed(table: str, id_col: str, text_col: str,
+                             shingle_k: int, prefix: str) -> str:
+    """Prefixed variant of :func:`shingle_cte_sql` (CTE names
+    ``{prefix}pos`` / ``{prefix}sh``) so two tables' shingle pipelines
+    can coexist in one statement (the similarity-join oracle)."""
+    def cp(j: int) -> str:
+        return f"CAST(unicode(substr({text_col}, x+{j}, 1)) AS HUGEINT)"
+
+    poly = cp(0)
+    for j in range(1, shingle_k):
+        poly = f"(({poly}) * {_P} + {cp(j)}) % {_M64}"
+    whole = (f"list_reduce([CAST(unicode(substr({text_col}, i, 1))"
+             f" AS HUGEINT) for i in generate_series(1,"
+             f" length({text_col}))], (acc, x) -> (acc * {_P} + x)"
+             f" % {_M64})")
+    shingled = mix64_staged(f"{prefix}pos", id_col, poly, "sh")
+    short = mix64_staged(
+        f"(SELECT {id_col}, {text_col} FROM {table}"
+        f" WHERE length({text_col}) BETWEEN 1 AND {shingle_k - 1})",
+        id_col, whole, "sh")
+    return f"""
+{prefix}pos AS (
+  SELECT {id_col}, {text_col},
+         unnest(generate_series(1, length({text_col})
+                                   - {shingle_k - 1})) AS x
+  FROM {table} WHERE length({text_col}) >= {shingle_k}
+),
+{prefix}sh AS (
+  SELECT DISTINCT {id_col}, sh FROM ({shingled})
+  UNION ALL
+  {short}
+)"""
+
+
+def band_keys_ctes(table: str, id_col: str, text_col: str, prefix: str,
+                   num_perm: int = 64, bands: int = 16,
+                   shingle_k: int = 5) -> str:
+    """CTE fragments ``{prefix}pos/sh/sig/bandv/bkey``: per-id MinHash
+    band keys — the reusable core of :func:`minhash_clusters_oracle_sql`
+    (same math: shingles → 32-bit signature → polynomial band key →
+    splitmix64), prefixed so one statement can band-key several tables.
+    References a shared ``perms(i, a, b)`` CTE the caller emits once
+    (see :func:`perms_values_sql`)."""
+    import numpy as np
+
+    from medcat_ray.ops.hashing import band_keys
+
+    rows = num_perm // bands
+    empty_sig = np.full((1, num_perm), (1 << 32) - 1, dtype=np.uint64)
+    empty_key = int(band_keys(empty_sig, 0, rows)[0])
+    slot = lambda j: f"MAX(CASE WHEN i % {rows} = {j} THEN m END)"
+    poly = slot(0)
+    for j in range(1, rows):
+        poly = f"(({poly}) * {_P} + {slot(j)}) % {_M64}"
+    return f"""
+{shingle_cte_sql_prefixed(table, id_col, text_col, shingle_k, prefix)},
+{prefix}sig AS (
+  SELECT {prefix}sh.{id_col}, perms.i,
+         MIN(((perms.a * {prefix}sh.sh + perms.b) % {_M64})
+             % {int(MERSENNE_PRIME)} % 4294967296) AS m
+  FROM {prefix}sh CROSS JOIN perms GROUP BY {prefix}sh.{id_col}, perms.i
+),
+{prefix}bandv AS (
+  SELECT {id_col}, i // {rows} AS band, {poly} AS p
+  FROM {prefix}sig GROUP BY {id_col}, i // {rows}
+),
+{prefix}bkey AS (
+  {mix64_staged(f"{prefix}bandv", f"{id_col}, band", "p", "key")}
+  UNION ALL
+  SELECT {id_col}, CAST(b AS BIGINT) AS band, {empty_key}::HUGEINT AS key
+  FROM {table} CROSS JOIN generate_series(0, {bands - 1}) AS gs(b)
+  WHERE {text_col} IS NULL OR length({text_col}) = 0
+)"""
+
+
+def perms_values_sql(num_perm: int = 64, seed: int = 1) -> str:
+    """The shared ``perms(i, a, b)`` CTE body (affine minhash
+    permutation parameters, twin of hashing.minhash_params)."""
+    a, b = minhash_params(num_perm, seed=seed)
+    return ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+                     for i in range(num_perm))
+
+
+def similarity_join_oracle_sql(left_sql: str, right_sql: str,
+                               threshold: float = 0.5,
+                               shingle_k: int = 5, num_perm: int = 64,
+                               bands: int = 16, seed: int = 1) -> str:
+    """SQL twin of ops.simjoin.similarity_join: both sides' MinHash band
+    keys recomputed bit-for-bit, candidates = DISTINCT cross-table pairs
+    sharing a (band, key) bucket, then exact k-char-shingle Jaccard at
+    ``threshold`` (plain substrings; equals the engine's hashed shingles
+    absent 64-bit collisions).  ``left_sql`` / ``right_sql`` must yield
+    columns ``(id, text)``."""
+    def shset(src: str) -> str:
+        return f"""
+  SELECT id,
+         CASE WHEN length(COALESCE(text, '')) >= {shingle_k}
+              THEN list_distinct([substr(text, x, {shingle_k})
+                                  for x in generate_series(
+                                      1, length(text)
+                                         - {shingle_k - 1})])
+              WHEN length(COALESCE(text, '')) >= 1
+              THEN [text]
+              ELSE [] END AS s
+  FROM {src}"""
+
+    return f"""
+WITH l_src AS ({left_sql}),
+r_src AS ({right_sql}),
+perms(i, a, b) AS (VALUES {perms_values_sql(num_perm, seed)}),
+{band_keys_ctes("l_src", "id", "text", "l_", num_perm, bands, shingle_k)},
+{band_keys_ctes("r_src", "id", "text", "r_", num_perm, bands, shingle_k)},
+cand AS (
+  SELECT DISTINCT l.id AS id_l, r.id AS id_r
+  FROM l_bkey l JOIN r_bkey r ON l.band = r.band AND l.key = r.key
+),
+l_shset AS ({shset("l_src")}),
+r_shset AS ({shset("r_src")}),
+scored AS (
+  SELECT c.id_l, c.id_r,
+         CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+              ELSE len(list_intersect(a.s, b.s)) * 1.0 /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         END AS jaccard
+  FROM cand c
+  JOIN l_shset a ON a.id = c.id_l
+  JOIN r_shset b ON b.id = c.id_r
+)
+SELECT id_l, id_r, ROUND(jaccard, 6) AS jaccard
+FROM scored WHERE jaccard >= {threshold}"""

@@ -1,0 +1,95 @@
+"""Similarity (fuzzy-string) join (ops/simjoin.py)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from medcat_ray.ops.simjoin import similarity_join
+
+LEFT = [
+    (0, "acute myocardial infarction"),
+    (1, "chronic kidney disease stage three"),
+    (2, "type two diabetes mellitus"),
+    (3, "essential arterial hypertension"),
+    (4, "completely unrelated record"),
+]
+RIGHT = [
+    (100, "acute myocardial infarction"),          # exact copy of 0
+    (101, "acute myocardial infarctions"),         # near-copy of 0
+    (102, "chronic kidney disease stage three"),   # exact copy of 1
+    (103, "something else entirely different"),
+    (104, "type two diabetes melitus"),            # near-copy of 2 (typo)
+]
+
+
+def _twin(threshold, k=5, num_perm=64, bands=16, seed=1):
+    """Brute-force python twin mirroring the LSH candidate rule: a pair
+    qualifies iff it shares >= 1 band key AND exact jaccard >= t."""
+    from medcat_ray.ops.dedup import jaccard
+    from medcat_ray.ops.hashing import (band_keys, minhash_params,
+                                        minhash_signature, shingle_hashes)
+    a, b = minhash_params(num_perm, seed)
+    rows = num_perm // bands
+
+    def keys(text):
+        sig = minhash_signature(shingle_hashes(text, k), a, b) \
+            .reshape(1, -1)
+        return {(band, int(band_keys(sig, band * rows,
+                                     (band + 1) * rows)[0]))
+                for band in range(bands)}
+
+    lk = {i: keys(t) for i, t in LEFT}
+    rk = {i: keys(t) for i, t in RIGHT}
+    out = []
+    for i, tl in LEFT:
+        for j, tr in RIGHT:
+            if lk[i] & rk[j]:
+                jac = jaccard(tl, tr, k)
+                if jac >= threshold:
+                    out.append((i, j, round(jac, 6)))
+    return sorted(out)
+
+
+def _run(threshold, **kw):
+    left = rd.from_pandas(pd.DataFrame(LEFT, columns=["pid", "name"])) \
+        .repartition(2)
+    right = rd.from_pandas(pd.DataFrame(RIGHT, columns=["rid", "name"])) \
+        .repartition(2)
+    out = similarity_join(left, right, threshold=threshold,
+                          left_id="pid", left_text="name",
+                          right_id="rid", right_text="name",
+                          num_partitions=2, **kw).to_pandas()
+    return sorted((int(l), int(r), round(float(j), 6))
+                  for l, r, j in zip(out["id_l"], out["id_r"],
+                                     out["jaccard"]))
+
+
+def test_similarity_join_matches_twin(ray_session):
+    got = _run(0.5)
+    want = _twin(0.5)
+    assert got == want
+    # the three planted matches are all found
+    found = {(l, r) for l, r, _ in got}
+    assert {(0, 100), (1, 102)} <= found
+    exact = {(l, r): j for l, r, j in got}
+    assert exact[(0, 100)] == 1.0 and exact[(1, 102)] == 1.0
+
+
+def test_similarity_join_threshold_gates(ray_session):
+    # at threshold 1.0 only the exact copies survive verification
+    got = _run(1.0)
+    assert {(l, r) for l, r, _ in got} == {(0, 100), (1, 102)}
+    assert got == _twin(1.0)
+
+
+def test_similarity_join_empty_side(ray_session):
+    left = rd.from_pandas(pd.DataFrame(LEFT, columns=["pid", "name"]))
+    right = rd.from_pandas(pd.DataFrame(
+        {"rid": pd.array([], dtype="int64"),
+         "name": pd.array([], dtype="string")}))
+    out = similarity_join(left, right, threshold=0.5,
+                          left_id="pid", left_text="name",
+                          right_id="rid", right_text="name",
+                          num_partitions=2)
+    assert out.count() == 0
