@@ -636,6 +636,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["id_r"] = out["id_r"].astype("int64")
         return out.sort_values(["id_l", "id_r"]).reset_index(drop=True)
 
+    def events_time_range(sf_dir):
+        """Range-partitioned time index (ops/timeindex.py — the temporal
+        member of the storage-layout-index family with IVF cells and
+        inverted-index shards): events stream to day-bucket ``tsb=``
+        parquet partitions at build, and the 5-day probe lists ONLY the
+        5 overlapping bucket directories (poisoned-bucket unit proof)
+        before an exact vectorized BETWEEN trim.  The oracle is the
+        plain SQL range scan."""
+        import tempfile
+        import ray.data as rd
+        from medcat_ray.ops.timeindex import (build_time_index,
+                                              read_time_range)
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "value"])
+        d = os.path.join(tempfile.gettempdir(),
+                         f"graft_timeindex_{os.path.basename(sf_dir)}")
+        build_time_index(ds, d)
+        out = read_time_range(d, "2024-01-10 00:00:00",
+                              "2024-01-14 23:59:59.999999").to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
     def hll_tokens_by_lang(sf_dir):
         """GROUPED HyperLogLog: distinct-token registers per lang via
         sparse per-batch partials and a NATIVE groupby(lang, bucket).Max
@@ -1955,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_pairs": image_phash_pairs,
         "audio_fp_pairs": audio_fp_pairs,
         "name_similarity_join": name_similarity_join,
+        "events_time_range": events_time_range,
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
@@ -3126,6 +3149,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
         "image_phash_pairs": _image_phash_oracle(),
         "audio_fp_pairs": _audio_fp_oracle(),
         "name_similarity_join": _simjoin_oracle(),
+        "events_time_range": """
+SELECT event_id, ts, user_id, value FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+             AND TIMESTAMP '2024-01-14 23:59:59.999999'
+ORDER BY event_id
+""",
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "semantic_dedup_keep_ids":

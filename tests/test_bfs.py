@@ -77,3 +77,21 @@ def test_bfs_explicit_roots_and_empty(ray_session):
     assert got == {9: 0, 10: 1}
     none = rd.from_pandas(pd.DataFrame({"node": pd.array([], dtype="int64")}))
     assert bfs_levels(e, roots=none).take_all() == []
+
+
+def test_bfs_distributed_equals_driver(ray_session):
+    """Auto-gate twins: the numpy driver path and the join+groupby-Min
+    rounds produce identical levels on a multi-path DAG."""
+    import numpy as np
+    n = np.arange(1, 240)
+    tree = list(zip(n // 3, n))                    # ternary tree from 0
+    extra = [(d // 2, d) for d in n if d % 7 == 0]  # shortcut edges
+    df = pd.DataFrame(tree + extra, columns=["src", "dst"])
+    e = rd.from_pandas(df).repartition(4)
+    a = {r["node"]: r["depth"]
+         for r in bfs_levels(e, method="driver").take_all()}
+    b = {r["node"]: r["depth"]
+         for r in bfs_levels(e, method="distributed",
+                             num_partitions=4).take_all()}
+    assert a == b and len(a) == 239 + 1
+    assert a == _py_bfs(tree + extra, [0])
