@@ -658,6 +658,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "2024-01-14 23:59:59.999999").to_pandas()
         return out.sort_values("event_id").reset_index(drop=True)
 
+    def unigram_word_scores_q(sf_dir):
+        """Unigram-LM tokenizer (ops/unigram.py, Kudo 2018) scoring
+        surface: seed vocabulary = deterministic top-128 substring
+        occurrences ∪ single chars (one combiner pass + groupby-Sum),
+        then the Viterbi best log-prob per distinct word (≤ 12 chars,
+        bounding the oracle's unrolled dp) under the broadcast piece
+        log-probs.  The emitted value is a MAX, so no tie-break enters
+        the comparison; the float score compares at rtol."""
+        import ray.data as rd
+        from medcat_ray.ops.bpe import word_histogram
+        from medcat_ray.ops.unigram import (seed_piece_counts,
+                                            top_pieces,
+                                            unigram_word_scores)
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"])
+        hist = word_histogram(ds).materialize()
+        pieces = top_pieces(seed_piece_counts(hist, 4).materialize(),
+                            k=128)
+        out = unigram_word_scores(hist, pieces, max_piece_len=4,
+                                  max_word_len=12).to_pandas()
+        return out.sort_values("word").reset_index(drop=True)
+
+    def unigram_vocab(sf_dir):
+        """Hard-EM unigram vocabulary learning (rows-only: the E-step
+        consumes the Viterbi argmax PATH, which SQL cannot extract
+        without per-path recursion — the scoring surface above is the
+        hash-checked twin; determinism + invariants are unit-tested)."""
+        import ray.data as rd
+        from medcat_ray.ops.unigram import unigram_learn
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"])
+        out = unigram_learn(ds, vocab_size=96, n_iter=2, seed_size=192,
+                            max_piece_len=4)
+        return out.sort_values("piece").reset_index(drop=True)
+
     def hll_tokens_by_lang(sf_dir):
         """GROUPED HyperLogLog: distinct-token registers per lang via
         sparse per-batch partials and a NATIVE groupby(lang, bucket).Max
@@ -1978,6 +2013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fp_pairs": audio_fp_pairs,
         "name_similarity_join": name_similarity_join,
         "events_time_range": events_time_range,
+        "unigram_word_scores": unigram_word_scores_q,
+        "unigram_vocab": unigram_vocab,
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
@@ -2229,6 +2266,13 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM hh a JOIN hh b ON a.id < b.id
 WHERE bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
 ORDER BY id_a, id_b"""
+
+
+def _unigram_oracle() -> str:
+    from medcat_ray.ops.sql_oracle import unigram_score_sql
+    return unigram_score_sql(_BPE_WORDS_SRC_SQL, k_seed=128,
+                             max_piece_len=4, max_word_len=12) + \
+        "\nORDER BY word"
 
 
 def _simjoin_oracle() -> str:
@@ -3155,6 +3199,7 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
              AND TIMESTAMP '2024-01-14 23:59:59.999999'
 ORDER BY event_id
 """,
+        "unigram_word_scores": _unigram_oracle(),
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "semantic_dedup_keep_ids":

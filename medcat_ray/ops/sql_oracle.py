@@ -656,3 +656,62 @@ scored AS (
 )
 SELECT id_l, id_r, ROUND(jaccard, 6) AS jaccard
 FROM scored WHERE jaccard >= {threshold}"""
+
+
+def unigram_score_sql(words_src: str, k_seed: int = 128,
+                      max_piece_len: int = 4,
+                      max_word_len: int = 12) -> str:
+    """SQL twin of ops.unigram.unigram_word_scores over the SEED
+    vocabulary: substring-occurrence counts → deterministic top-k
+    ``(cnt DESC, piece ASC)`` ∪ single characters → ln-ratio log-probs →
+    Viterbi max log-prob per word as an UNROLLED dp-per-position chain
+    (no recursion, no argmax-path extraction — the emitted value is a
+    MAX, so ties never enter the comparison).  ``words_src`` must yield
+    (word, freq); words longer than ``max_word_len`` are excluded on
+    BOTH sides (bounds the unroll).  The float score column compares at
+    rtol like doc_lm_ppl."""
+    # every CTE below is MATERIALIZED: DuckDB re-inlines plain CTEs per
+    # reference, and the unrolled dp chain references lp ~max_word_len ×
+    # max_piece_len times — un-materialized, each one re-opens the source
+    # parquet ("Too many open files") and re-runs the seed aggregation
+    parts = [
+        f"words AS MATERIALIZED ({words_src})",
+        f"wl AS MATERIALIZED (SELECT word, freq FROM words"
+        f" WHERE length(word) <= {max_word_len})",
+        f"""sub_counts AS MATERIALIZED (
+  SELECT substr(word, x, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT word, freq,
+               unnest(generate_series(1, length(word))) AS x FROM words)
+  CROSS JOIN generate_series(1, {max_piece_len}) AS g(l)
+  WHERE x + l - 1 <= length(word)
+  GROUP BY piece)""",
+        f"""topk AS MATERIALIZED (SELECT piece, cnt FROM sub_counts
+  ORDER BY cnt DESC, piece LIMIT {k_seed})""",
+        """pieces AS MATERIALIZED (
+  SELECT DISTINCT piece, cnt FROM (
+    SELECT * FROM topk
+    UNION ALL
+    SELECT piece, cnt FROM sub_counts WHERE length(piece) = 1))""",
+        """lp AS MATERIALIZED (
+  SELECT piece, ln(cnt * 1.0 / (SELECT SUM(cnt) FROM pieces)) AS lp
+  FROM pieces)""",
+        "dp0 AS MATERIALIZED (SELECT word, freq, 0.0::DOUBLE AS s FROM wl)",
+    ]
+    for p in range(1, max_word_len + 1):
+        branches = []
+        for l in range(1, min(max_piece_len, p) + 1):
+            branches.append(f"""
+    SELECT d.word, d.freq, d.s + lp.lp AS s
+    FROM dp{p - l} d JOIN lp
+      ON length(d.word) >= {p}
+     AND lp.piece = substr(d.word, {p - l + 1}, {l})""")
+        parts.append(
+            f"dp{p} AS MATERIALIZED (SELECT word, freq, MAX(s) AS s FROM ("
+            + " UNION ALL ".join(branches)
+            + ") q GROUP BY word, freq)")
+    finals = " UNION ALL ".join(
+        f"SELECT word, freq, s FROM dp{p} WHERE length(word) = {p}"
+        for p in range(1, max_word_len + 1))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT word, CAST(freq AS BIGINT) AS freq, s AS score"
+              f" FROM ({finals}) r")
