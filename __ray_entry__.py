@@ -658,6 +658,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "2024-01-14 23:59:59.999999").to_pandas()
         return out.sort_values("event_id").reset_index(drop=True)
 
+    def user_event_deltas(sf_dir):
+        """Per-key LAG (ops/window.py): µs since the user's previous
+        event, -1 for firsts.  One global sort; every row but each
+        block's first resolves in-block (vectorized shift) and the
+        O(blocks) boundary residual resolves in one tiny pass — the
+        as-of join's bounded-residual pattern.  Oracle: lag() OVER."""
+        import ray.data as rd
+        from medcat_ray.ops.window import lag_deltas
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        out = lag_deltas(ds).to_pandas()
+        out["delta_us"] = out["delta_us"].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    def doc_len_ntile(sf_dir):
+        """Exact ntile bucketing (ops/window.py): quartile boundaries
+        from the cardinality-sized histogram (ops/quantiles.py discrete
+        rule), broadcast once, stateless searchsorted per batch.
+        bucket = #{boundaries strictly below v} so duplicate boundaries
+        collapse buckets identically on both sides."""
+        import ray.data as rd
+        from medcat_ray.ops.window import ntile_assign
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"])
+        out = ntile_assign(ds, "n_chars", n=4).to_pandas()
+        out["bucket"] = out["bucket"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def user_event_type_pivot(sf_dir):
+        """Categorical pivot (ops/window.py): per-block crosstab
+        partials (one row per distinct user per block, fixed category
+        columns) → ONE native multi-column groupby-Sum.  Oracle:
+        FILTER aggregates."""
+        import ray.data as rd
+        from medcat_ray.ops.window import pivot_counts
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        out = pivot_counts(ds, "user_id", "event_type").to_pandas()
+        for c in out.columns:
+            if c.startswith("n_"):
+                out[c] = out[c].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+
     def unigram_word_scores_q(sf_dir):
         """Unigram-LM tokenizer (ops/unigram.py, Kudo 2018) scoring
         surface: seed vocabulary = deterministic top-128 substring
@@ -2015,6 +2058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_range": events_time_range,
         "unigram_word_scores": unigram_word_scores_q,
         "unigram_vocab": unigram_vocab,
+        "user_event_deltas": user_event_deltas,
+        "doc_len_ntile": doc_len_ntile,
+        "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
         "doc_bm25_scores": doc_bm25_scores,
         "inverted_index_lookup": inverted_index_lookup,
@@ -3200,6 +3246,35 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
 ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
+        "user_event_deltas": """
+SELECT event_id, user_id, ts,
+       COALESCE(CAST(date_diff('microsecond',
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           ts) AS BIGINT), -1) AS delta_us
+FROM events ORDER BY event_id
+""",
+        "doc_len_ntile": """
+WITH c AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1),
+s AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+t AS (SELECT COUNT(*) AS total FROM documents),
+qs(q) AS (VALUES (0.25), (0.5), (0.75)),
+b AS (SELECT q, MIN(v) AS bound FROM qs, s, t
+      WHERE s.cum >= CEIL(q * t.total) GROUP BY q)
+SELECT d.doc_id, d.n_chars,
+       CAST((SELECT COUNT(*) FROM b WHERE b.bound < d.n_chars)
+            AS BIGINT) AS bucket
+FROM documents d ORDER BY d.doc_id
+""",
+        "user_event_type_pivot": """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
         "hll_tokens_by_lang": _hll_grouped_oracle(),
         "cms_heavy_hitters_tokens": _cms_hh_oracle(),
         "semantic_dedup_keep_ids":

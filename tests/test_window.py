@@ -1,0 +1,74 @@
+"""Window / reshaping ops (ops/window.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from medcat_ray.ops.window import lag_deltas, ntile_assign, pivot_counts
+
+
+def _events(n=120, users=7, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-01-01") + \
+        pd.to_timedelta(np.cumsum(rng.integers(1, 10_000, n)), unit="s")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": pd.Series(ts).astype("datetime64[us]"),
+        "event_type": rng.choice(["click", "view", "buy"], n)})
+
+
+def test_lag_deltas_matches_sql(ray_session):
+    df = _events()
+    got = lag_deltas(rd.from_pandas(df).repartition(5)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+SELECT event_id, user_id, ts,
+       COALESCE(CAST(date_diff('microsecond',
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           ts) AS BIGINT), -1) AS delta_us
+FROM events ORDER BY event_id""").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"delta_us": "int64"}),
+        want.astype({"delta_us": "int64",
+                     "ts": "datetime64[us]"}))
+    # no duplicated or dropped rows across body/residual
+    assert len(got) == len(df)
+
+
+def test_lag_deltas_single_row_blocks(ray_session):
+    df = _events(6, users=2)
+    got = lag_deltas(rd.from_pandas(df).repartition(6)).to_pandas()
+    assert len(got) == 6
+    firsts = got.sort_values(["user_id", "ts"]).groupby("user_id").head(1)
+    assert (firsts["delta_us"] == -1).all()
+
+
+def test_ntile_assign_quartiles(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                       "v": np.arange(100, dtype=np.int64)})
+    out = ntile_assign(rd.from_pandas(df).repartition(4), "v", n=4) \
+        .to_pandas().sort_values("doc_id")
+    # Q(0.25)=24, Q(0.5)=49, Q(0.75)=74 (discrete-lower rule):
+    # bucket = #{boundaries strictly below v}
+    want = np.searchsorted(np.array([24, 49, 74]),
+                           df["v"].to_numpy(), side="left")
+    assert (out["bucket"].to_numpy() == want).all()
+    assert out["bucket"].nunique() == 4
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    df = _events(150)
+    got = pivot_counts(rd.from_pandas(df).repartition(4),
+                       "user_id", "event_type").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = pd.crosstab(df["user_id"], df["event_type"]) \
+        .reindex(columns=["buy", "click", "view"], fill_value=0)
+    for c in ["buy", "click", "view"]:
+        assert (got[f"n_{c}"].to_numpy()
+                == want[c].to_numpy()).all()
+    assert list(got.columns) == ["user_id", "n_buy", "n_click", "n_view"]
