@@ -701,6 +701,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 out[c] = out[c].astype("int64")
         return out.sort_values("user_id").reset_index(drop=True)
 
+    def user_running_spend(sf_dir):
+        """Per-key prefix scan (ops/scan.py): cumulative integer-cents
+        spend per user in (ts, event_id) order.  One global sort +
+        vectorized in-block cumsums; only block-boundary-spanning keys
+        chain through an O(blocks) offset map (≤ 2 rows per block,
+        broadcast once).  Cents = floor(value·100 + 0.5) on BOTH sides
+        (values are non-negative), so the running sums are integer-exact
+        and hash-compared."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from medcat_ray.ops.scan import running_sum
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"],
+                                                    100.0), 0.5)),
+                        pa.int64())
+            return batch.drop_columns(["value"]).append_column("cents", c)
+
+        out = running_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                          "user_id", ["ts"], "event_id",
+                          val_col="cents", out_col="spend_cents") \
+            .to_pandas()
+        out["spend_cents"] = out["spend_cents"].astype("int64")
+        return out[["event_id", "user_id", "spend_cents"]] \
+            .sort_values("event_id").reset_index(drop=True)
+
+    def user_event_rank(sf_dir):
+        """ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, id) via the
+        same prefix-scan machinery with unit weights."""
+        import ray.data as rd
+        from medcat_ray.ops.scan import running_sum
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts"])
+        out = running_sum(ds, "user_id", ["ts"], "event_id",
+                          val_col=None, out_col="rn").to_pandas()
+        out["rn"] = out["rn"].astype("int64")
+        return out[["event_id", "user_id", "rn"]] \
+            .sort_values("event_id").reset_index(drop=True)
+
     def unigram_word_scores_q(sf_dir):
         """Unigram-LM tokenizer (ops/unigram.py, Kudo 2018) scoring
         surface: seed vocabulary = deterministic top-128 substring
@@ -2059,6 +2102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_word_scores": unigram_word_scores_q,
         "unigram_vocab": unigram_vocab,
         "user_event_deltas": user_event_deltas,
+        "user_running_spend": user_running_spend,
+        "user_event_rank": user_event_rank,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -3246,6 +3291,19 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
 ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
+        "user_running_spend": """
+SELECT event_id, user_id,
+       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS spend_cents
+FROM events ORDER BY event_id
+""",
+        "user_event_rank": """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS rn
+FROM events ORDER BY event_id
+""",
         "user_event_deltas": """
 SELECT event_id, user_id, ts,
        COALESCE(CAST(date_diff('microsecond',
