@@ -744,6 +744,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["event_id", "user_id", "rn"]] \
             .sort_values("event_id").reset_index(drop=True)
 
+    def docs_rollup_counts(sf_dir):
+        """ROLLUP aggregates (ops/rollup.py): the (lang, source) /
+        (lang) / grand-total levels, where every coarser level folds
+        the FINEST level's group-cardinality-sized result — the corpus
+        is scanned exactly once.  Oracle: GROUP BY ROLLUP."""
+        import ray.data as rd
+        from medcat_ray.ops.rollup import rollup_counts
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["lang", "source"])
+        return rollup_counts(ds, ["lang", "source"])
+
+    def embedding_covariance(sf_dir):
+        """Distributed covariance fit (ops/linalg.py): one streaming
+        pass of per-block (count, Σx, XᵀX) BLAS partials — no shuffle,
+        the driver folds O(blocks) dim²-sized partials.  Long-form
+        (i, j, cov); the float column compares at rtol."""
+        import ray.data as rd
+        from medcat_ray.ops.linalg import covariance_long
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["embedding"])
+        out = covariance_long(ds)
+        return out.sort_values(["i", "j"]).reset_index(drop=True)
+
     def unigram_word_scores_q(sf_dir):
         """Unigram-LM tokenizer (ops/unigram.py, Kudo 2018) scoring
         surface: seed vocabulary = deterministic top-128 substring
@@ -2104,6 +2127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_deltas": user_event_deltas,
         "user_running_spend": user_running_spend,
         "user_event_rank": user_event_rank,
+        "docs_rollup_counts": docs_rollup_counts,
+        "embedding_covariance": embedding_covariance,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -3291,6 +3316,25 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
 ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
+        "docs_rollup_counts": """
+SELECT COALESCE(lang, '__all__') AS lang,
+       COALESCE(source, '__all__') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang, source
+""",
+        "embedding_covariance": """
+WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+idx AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS k),
+stats AS (
+  SELECT i.k AS i, j.k AS j, SUM(v[i.k] * v[j.k]) AS g,
+         AVG(v[i.k]) AS mi, AVG(v[j.k]) AS mj, COUNT(*) AS n
+  FROM e CROSS JOIN idx i CROSS JOIN idx j
+  GROUP BY i.k, j.k)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       g / n - mi * mj AS cov
+FROM stats ORDER BY i, j
+""",
         "user_running_spend": """
 SELECT event_id, user_id,
        SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
