@@ -744,6 +744,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["event_id", "user_id", "rn"]] \
             .sort_values("event_id").reset_index(drop=True)
 
+    def doc_len_quantiles_by_lang(sf_dir):
+        """Per-group exact quantiles (ops/quantiles.py grouped variant):
+        one native groupby(lang, n_chars).count() — still
+        cardinality-sized — then the discrete-lower quantile walk per
+        group on the tiny histogram."""
+        import ray.data as rd
+        from medcat_ray.ops.quantiles import grouped_quantiles
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["lang", "n_chars"])
+        out = grouped_quantiles(ds, "lang", "n_chars",
+                                [0.25, 0.5, 0.75])
+        out["value"] = out["value"].astype("int64")
+        return out.sort_values(["lang", "q"]).reset_index(drop=True)
+
+    def source_unigram_js(sf_dir):
+        """Corpus drift (ops/drift.py): Jensen–Shannon divergence
+        between per-source unigram word distributions — one combiner +
+        groupby(source, word).Sum corpus pass, JS folded on the driver
+        over the vocabulary-sized table.  Float js compares at rtol."""
+        import ray.data as rd
+        from medcat_ray.ops.drift import unigram_js_divergence
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["source", "text"])
+        out = unigram_js_divergence(ds, "source")
+        return out.sort_values(["group_a", "group_b"]) \
+            .reset_index(drop=True)
+
     def docs_rollup_counts(sf_dir):
         """ROLLUP aggregates (ops/rollup.py): the (lang, source) /
         (lang) / grand-total levels, where every coarser level folds
@@ -2129,6 +2156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_rank": user_event_rank,
         "docs_rollup_counts": docs_rollup_counts,
         "embedding_covariance": embedding_covariance,
+        "doc_len_quantiles_by_lang": doc_len_quantiles_by_lang,
+        "source_unigram_js": source_unigram_js,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -3316,6 +3345,44 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
 ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
+        "doc_len_quantiles_by_lang": """
+WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT lang, v, SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum
+      FROM c),
+t AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY lang),
+qs(q) AS (VALUES (0.25), (0.5), (0.75))
+SELECT s.lang, q, CAST(MIN(v) AS BIGINT) AS value
+FROM qs, s JOIN t USING (lang)
+WHERE s.cum >= CEIL(q * t.total)
+GROUP BY s.lang, q ORDER BY lang, q
+""",
+        "source_unigram_js": """
+WITH w AS MATERIALIZED (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+    FROM documents) GROUP BY source, word),
+tot AS MATERIALIZED (SELECT source, SUM(cnt) AS t FROM w GROUP BY source),
+p AS MATERIALIZED (
+  SELECT w.source, w.word, w.cnt * 1.0 / tot.t AS p
+  FROM w JOIN tot USING (source)),
+g AS (SELECT DISTINCT source FROM p),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM g a JOIN g b ON a.source < b.source),
+vocab AS (SELECT DISTINCT pr.sa, pr.sb, p.word
+          FROM pairs pr JOIN p ON p.source IN (pr.sa, pr.sb)),
+j AS (SELECT v.sa, v.sb, COALESCE(pa.p, 0) AS p, COALESCE(pb.p, 0) AS q
+      FROM vocab v
+      LEFT JOIN p pa ON pa.source = v.sa AND pa.word = v.word
+      LEFT JOIN p pb ON pb.source = v.sb AND pb.word = v.word)
+SELECT sa AS group_a, sb AS group_b,
+       SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q))
+                ELSE 0 END
+         + CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q))
+                ELSE 0 END) AS js
+FROM j GROUP BY sa, sb ORDER BY group_a, group_b
+""",
         "docs_rollup_counts": """
 SELECT COALESCE(lang, '__all__') AS lang,
        COALESCE(source, '__all__') AS source,

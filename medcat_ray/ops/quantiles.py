@@ -41,3 +41,26 @@ def exact_quantiles(ds: rd.Dataset, col: str,
         out_q.append(float(q))
         out_v.append(hist[col].iloc[idx])
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def grouped_quantiles(ds: rd.Dataset, group_col: str, col: str,
+                      qs: Sequence[float]) -> pd.DataFrame:
+    """(group, q, value): exact discrete quantiles PER GROUP — one
+    native ``groupby(group, value).count()`` shuffle (still
+    cardinality-sized: groups × distinct values), then the quantile
+    walk per group over that tiny table."""
+    hist = ds.groupby([group_col, col]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    out_g, out_q, out_v = [], [], []
+    for g, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values(col).reset_index(drop=True)
+        total = int(sub["n"].sum())
+        cum = sub["n"].cumsum()
+        for q in qs:
+            need = math.ceil(q * total)
+            idx = min(int(cum.searchsorted(need, side="left")),
+                      len(sub) - 1)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(sub[col].iloc[idx])
+    return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})
