@@ -771,6 +771,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["group_a", "group_b"]) \
             .reset_index(drop=True)
 
+    def doc_quality_probe_stats(sf_dir):
+        """Trainable linear quality probe (ops/regress.py): ridge
+        regression fitted from ONE pass of per-block (XᵀX, Xᵀy) BLAS
+        partials — the closed-form cousin of an LLM-pipeline quality
+        classifier.  Features are pure arithmetic on both sides
+        (x1 = 1 + #spaces, x2 = ln(1 + x1); y = n_chars), and the
+        oracle recomputes the sufficient statistics with SUM products
+        at rtol (the solve is unit-tested against numpy)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from medcat_ray.ops.regress import ridge_stats, stats_long
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text", "n_chars"])
+
+        def feats(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            x1 = pc.add(pc.count_substring(batch["text"], " "), 1)
+            x1 = pc.cast(x1, pa.float64())
+            x2 = pa.array(np.log1p(x1.to_numpy(zero_copy_only=False)),
+                          type=pa.float64())
+            return pa.table({"x1": x1, "x2": x2,
+                             "n_chars": pc.cast(batch["n_chars"],
+                                                pa.float64())})
+
+        n, xtx, xty = ridge_stats(ds.map_batches(feats,
+                                                 batch_format="pyarrow"),
+                                  ["x1", "x2"], "n_chars")
+        out = stats_long(n, xtx, xty)
+        return out.sort_values(["i", "j"]).reset_index(drop=True)
+
     def docs_rollup_counts(sf_dir):
         """ROLLUP aggregates (ops/rollup.py): the (lang, source) /
         (lang) / grand-total levels, where every coarser level folds
@@ -2158,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": embedding_covariance,
         "doc_len_quantiles_by_lang": doc_len_quantiles_by_lang,
         "source_unigram_js": source_unigram_js,
+        "doc_quality_probe_stats": doc_quality_probe_stats,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -2411,6 +2443,26 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM hh a JOIN hh b ON a.id < b.id
 WHERE bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
 ORDER BY id_a, id_b"""
+
+
+def _probe_stats_oracle() -> str:
+    xs = ["x0", "x1", "x2"]
+    rows = []
+    for i in range(3):
+        for j in range(3):
+            rows.append(f"SELECT CAST({i} AS BIGINT) AS i, "
+                        f"CAST({j} AS BIGINT) AS j, "
+                        f"SUM({xs[i]} * {xs[j]}) AS val FROM g")
+    for i in range(3):
+        rows.append(f"SELECT CAST({i} AS BIGINT), CAST(-1 AS BIGINT), "
+                    f"SUM({xs[i]} * y) FROM g")
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH f AS (SELECT CAST(1 + length(text) - length(replace(text, ' ', ''))
+                       AS DOUBLE) AS x1,
+                  CAST(n_chars AS DOUBLE) AS y FROM documents),
+g AS MATERIALIZED (SELECT 1.0 AS x0, x1, ln(1 + x1) AS x2, y FROM f)
+SELECT * FROM ({body}) ORDER BY i, j"""
 
 
 def _unigram_oracle() -> str:
@@ -3345,6 +3397,7 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
 ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
+        "doc_quality_probe_stats": _probe_stats_oracle(),
         "doc_len_quantiles_by_lang": """
 WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS n
            FROM documents GROUP BY 1, 2),
