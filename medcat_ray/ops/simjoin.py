@@ -44,17 +44,76 @@ from medcat_ray.ops.dedup import jaccard, minhash_buckets
 from medcat_ray.ops.numeric import round_half_away
 
 
+def _drop_hot_buckets(lb: rd.Dataset, rb: rd.Dataset,
+                      max_bucket: int) -> tuple:
+    """Remove (band, band_hash) keys with > max_bucket members on
+    either side from BOTH bucket tables.  The oversize list is found by
+    one native groupby-count per side and applied as a broadcast
+    np.isin probe on a combined 128-bit key — no shuffle join."""
+    import logging
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    def oversized(b: rd.Dataset) -> "np.ndarray":
+        counts = b.groupby(["band", "band_hash"]) \
+            .aggregate(Count(alias_name="n"))
+
+        def big(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.greater(batch["n"], max_bucket)) \
+                .select(["band", "band_hash"])
+        hot = counts.map_batches(big, batch_format="pyarrow").to_pandas()
+        return (hot["band"].to_numpy().astype(np.int64) << np.int64(40)) \
+            ^ hot["band_hash"].to_numpy().astype(np.int64)
+
+    hot = np.union1d(oversized(lb), oversized(rb))
+    if len(hot) == 0:
+        return lb, rb
+    logging.getLogger(__name__).warning(
+        "similarity_join: dropping %d oversized LSH buckets "
+        "(max_bucket=%d)", len(hot), max_bucket)
+    hot_ref = ray.put(np.sort(hot))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        h = _ray.get(hot_ref)
+        key = (batch["band"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) << np.int64(40)) \
+            ^ batch["band_hash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(h, key)
+        pos = np.minimum(pos, len(h) - 1)
+        return batch.filter(pa.array(h[pos] != key))
+
+    return (lb.map_batches(prune, batch_format="pyarrow"),
+            rb.map_batches(prune, batch_format="pyarrow"))
+
+
 def similarity_join(left: rd.Dataset, right: rd.Dataset,
                     threshold: float = 0.5, k: int = 5,
                     num_perm: int = 64, bands: int = 16,
                     left_id: str = "id_l", left_text: str = "text",
                     right_id: str = "id_r", right_text: str = "text",
                     seed: int = 1,
-                    num_partitions: Optional[int] = None) -> rd.Dataset:
+                    num_partitions: Optional[int] = None,
+                    max_bucket: Optional[int] = None) -> rd.Dataset:
     """(left_id, right_id, jaccard) for every cross-table pair with
     k-shingle Jaccard ≥ ``threshold`` that shares ≥ 1 MinHash band
     bucket (recall is the standard LSH S-curve at
-    ``bands`` × ``num_perm/bands``; equal texts always collide)."""
+    ``bands`` × ``num_perm/bands``; equal texts always collide).
+
+    ``max_bucket``: hot-bucket guard for boilerplate-heavy corpora — a
+    (band, band_hash) bucket with more than ``max_bucket`` members on
+    EITHER side is dropped (with a log line) before the join, bounding
+    the candidate blowup at L·R ≤ max_bucket².  Oversized buckets are
+    rare by construction (uniform 64-bit keys; only genuinely repeated
+    near-identical text inflates one), so the blocklist is tiny and is
+    applied as a broadcast probe — no extra shuffle join.  Pairs whose
+    ONLY shared bucket is oversized are lost: this trades recall on
+    boilerplate for a hard cost bound, exactly like SemDeDup's
+    oversize-cluster guard.  Default None = exact (the oracle path)."""
     if num_partitions is None:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -86,6 +145,9 @@ def similarity_join(left: rd.Dataset, right: rd.Dataset,
             "id_l": pa.array([], type=_idt(left, left_id)),
             "id_r": pa.array([], type=_idt(right, right_id)),
             "jaccard": pa.array([], type=pa.float64())}))
+
+    if max_bucket is not None:
+        lb, rb = _drop_hot_buckets(lb, rb, max_bucket)
 
     cand = lb.join(rb, join_type="inner",
                    num_partitions=num_partitions,

@@ -93,3 +93,32 @@ def test_similarity_join_empty_side(ray_session):
                           right_id="rid", right_text="name",
                           num_partitions=2)
     assert out.count() == 0
+
+
+def test_similarity_join_max_bucket_guard(ray_session):
+    """A boilerplate text repeated on both sides explodes one bucket;
+    max_bucket drops it (bounding candidates) while distinct planted
+    matches outside the hot bucket survive."""
+    hot = [(1000 + i, "the exact same boilerplate header text")
+           for i in range(30)]
+    left = rd.from_pandas(pd.DataFrame(
+        LEFT + hot, columns=["pid", "name"])).repartition(2)
+    right = rd.from_pandas(pd.DataFrame(
+        RIGHT + [(1000 + h, t) for h, t in hot],
+        columns=["rid", "name"])).repartition(2)
+    guarded = similarity_join(left, right, threshold=1.0,
+                              left_id="pid", left_text="name",
+                              right_id="rid", right_text="name",
+                              num_partitions=2, max_bucket=10).to_pandas()
+    pairs = {(int(l), int(r)) for l, r in zip(guarded["id_l"],
+                                              guarded["id_r"])}
+    # exact copies outside the hot bucket still found
+    assert {(0, 100), (1, 102)} <= pairs
+    # the 30x30 boilerplate block is gone
+    assert not any(l >= 1000 or r >= 2000 for l, r in pairs)
+    # unguarded: the block is present (sanity that the guard did it)
+    full = similarity_join(left, right, threshold=1.0,
+                           left_id="pid", left_text="name",
+                           right_id="rid", right_text="name",
+                           num_partitions=2).to_pandas()
+    assert len(full) > len(guarded)
