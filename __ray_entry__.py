@@ -771,6 +771,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["group_a", "group_b"]) \
             .reset_index(drop=True)
 
+    def user_funnel_stages(sf_dir):
+        """Funnel analysis (ops/funnel.py): highest in-order stage
+        (click → view → purchase) each user reached, via the greedy
+        earliest chain — len(stages) rounds of ONE hash join (previous
+        per-user min onto the event stream) + native groupby-Min; only
+        the users-sized min table moves between rounds.  Oracle:
+        chained t1/t2/t3 CTEs."""
+        import ray.data as rd
+        from medcat_ray.ops.funnel import funnel_stages
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_type"])
+        out = funnel_stages(ds, ["click", "view", "purchase"]) \
+            .to_pandas()
+        out["stage"] = out["stage"].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+
     def doc_quality_probe_stats(sf_dir):
         """Trainable linear quality probe (ops/regress.py): ridge
         regression fitted from ONE pass of per-block (XᵀX, Xᵀy) BLAS
@@ -2190,6 +2206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_by_lang": doc_len_quantiles_by_lang,
         "source_unigram_js": source_unigram_js,
         "doc_quality_probe_stats": doc_quality_probe_stats,
+        "user_funnel_stages": user_funnel_stages,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -3398,6 +3415,23 @@ ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
         "doc_quality_probe_stats": _probe_stats_oracle(),
+        "user_funnel_stages": """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+       GROUP BY e.user_id)
+SELECT t1.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+ORDER BY t1.user_id
+""",
         "doc_len_quantiles_by_lang": """
 WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS n
            FROM documents GROUP BY 1, 2),
