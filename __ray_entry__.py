@@ -771,6 +771,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["group_a", "group_b"]) \
             .reset_index(drop=True)
 
+    def doc_len_loghist_by_lang(sf_dir):
+        """GROUPED log-bucket histogram quantile sketch
+        (ops/loghist.py grouped twin, the quantile analogue of grouped
+        HyperLogLog): sparse per-batch (lang, bucket, n) partials →
+        ONE native groupby(lang, bucket).Sum — shuffle ≤ groups ×
+        occupied buckets — then the integer ceiling-rank walk per
+        group.  Estimates compare EXACTLY (integer bucket reps)."""
+        import ray.data as rd
+        from medcat_ray.ops.loghist import (loghist_counts_grouped,
+                                            loghist_quantiles_grouped)
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["lang", "n_chars"])
+        sparse = loghist_counts_grouped(ds, "lang", "n_chars") \
+            .to_pandas()
+        out = loghist_quantiles_grouped(
+            sparse, "lang", [(25, 100), (50, 100), (90, 100)])
+        out["estimate"] = out["estimate"].astype("int64")
+        return out.sort_values(["lang", "q"]).reset_index(drop=True)
+
     def user_funnel_stages(sf_dir):
         """Funnel analysis (ops/funnel.py): highest in-order stage
         (click → view → purchase) each user reached, via the greedy
@@ -2207,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_unigram_js": source_unigram_js,
         "doc_quality_probe_stats": doc_quality_probe_stats,
         "user_funnel_stages": user_funnel_stages,
+        "doc_len_loghist_by_lang": doc_len_loghist_by_lang,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -3415,6 +3435,30 @@ ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
         "doc_quality_probe_stats": _probe_stats_oracle(),
+        "doc_len_loghist_by_lang": """
+WITH b AS (
+  SELECT lang, CASE WHEN n_chars < 64 THEN n_chars
+         ELSE (length(bin(n_chars)) - 5) * 32
+              + ((n_chars >> (length(bin(n_chars)) - 6)) - 32)
+         END AS idx
+  FROM documents),
+c AS (SELECT lang, idx, COUNT(*) AS c FROM b GROUP BY lang, idx),
+cum AS (SELECT lang, idx,
+               SUM(c) OVER (PARTITION BY lang ORDER BY idx) AS cum
+        FROM c),
+n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+q(num, den) AS (VALUES (25, 100), (50, 100), (90, 100)),
+r AS (SELECT lang, num, den, (n.n * num + den - 1) // den AS rank
+      FROM q CROSS JOIN n),
+sel AS (SELECT r.lang, r.num, r.den, MIN(cum.idx) AS idx
+        FROM r JOIN cum ON cum.lang = r.lang AND cum.cum >= r.rank
+        GROUP BY r.lang, r.num, r.den)
+SELECT lang, num * 1.0 / den AS q,
+       CAST(CASE WHEN idx < 64 THEN idx
+            ELSE ((32 + idx % 32 + 1) << (idx // 32 - 1)) - 1
+            END AS BIGINT) AS estimate
+FROM sel ORDER BY lang, q
+""",
         "user_funnel_stages": """
 WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
             WHERE event_type = 'click' GROUP BY user_id),

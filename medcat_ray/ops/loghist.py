@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -101,3 +102,59 @@ def loghist_quantiles(counts: np.ndarray,
         idx = int(np.searchsorted(cum, rank))
         out.append((num / den, int(bucket_rep(np.array([idx]), s)[0])))
     return out
+
+
+def loghist_counts_grouped(ds: rd.Dataset, group_col: str,
+                           value_col: str, s: int = 5) -> rd.Dataset:
+    """Sparse (group, bucket, n) histogram — the grouped twin of
+    :func:`loghist_counts` (same shape as grouped HyperLogLog,
+    ops/sketch.py): per-batch sparse partials, then ONE native
+    groupby(group, bucket).Sum; the shuffle carries at most
+    groups × occupied-buckets rows, never values."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        idx = bucket_index(v, s)
+        df = pd.DataFrame({group_col: g, "bucket": idx})
+        cnt = df.groupby([group_col, "bucket"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            group_col: pa.array(cnt[group_col], type=pa.string()),
+            "bucket": pa.array(cnt["bucket"].to_numpy(),
+                               type=pa.int64()),
+            "n": pa.array(cnt["n"].to_numpy(), type=pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "bucket"]).aggregate(Sum("n",
+                                                      alias_name="n"))
+
+
+def loghist_quantiles_grouped(counts: "pd.DataFrame", group_col: str,
+                              quantiles: Sequence[Tuple[int, int]],
+                              s: int = 5) -> "pd.DataFrame":
+    """(group, q, estimate) per group from the sparse grouped counts —
+    the driver fold runs over the groups × occupied-buckets table."""
+    out_g, out_q, out_v = [], [], []
+    for g, sub in counts.groupby(group_col, sort=True):
+        sub = sub.sort_values("bucket")
+        cum = sub["n"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        buckets = sub["bucket"].to_numpy()
+        for num, den in quantiles:
+            out_g.append(g)
+            out_q.append(num / den)
+            if n == 0:
+                out_v.append(0)
+                continue
+            rank = (n * num + den - 1) // den
+            idx = int(np.searchsorted(cum, rank))
+            out_v.append(int(bucket_rep(
+                np.array([buckets[idx]]), s)[0]))
+    return pd.DataFrame({group_col: out_g, "q": out_q,
+                         "estimate": out_v})

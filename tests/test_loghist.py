@@ -60,3 +60,33 @@ def test_empty_dataset(ray_session):
     counts = loghist_counts(ds, "v")
     assert counts.sum() == 0
     assert loghist_quantiles(counts, [(50, 100)]) == [(0.5, 0)]
+
+
+def test_grouped_loghist_equals_per_subset(ray_session):
+    """Grouped sketch == independent loghist per subset, and the
+    quantile walk matches the global helper on each group."""
+    import pandas as pd
+    import ray.data as rd
+    from medcat_ray.ops.loghist import (loghist_counts,
+                                        loghist_counts_grouped,
+                                        loghist_quantiles,
+                                        loghist_quantiles_grouped)
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 400).astype(object),
+        "v": rng.integers(0, 100_000, 400).astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    sparse = loghist_counts_grouped(ds, "g", "v").to_pandas()
+    qs = [(25, 100), (50, 100), (90, 100)]
+    got = loghist_quantiles_grouped(sparse, "g", qs)
+    for g in ["a", "b"]:
+        sub = rd.from_pandas(df[df["g"] == g].reset_index(drop=True))
+        counts = loghist_counts(sub, "v")
+        want = loghist_quantiles(counts, qs)
+        mine = got[got["g"] == g].sort_values("q")
+        assert list(zip(mine["q"], mine["estimate"])) == want
+        # sparse counts agree with the dense histogram
+        dense = {i: int(c) for i, c in enumerate(counts) if c}
+        sp = dict(zip(sparse[sparse["g"] == g]["bucket"],
+                      sparse[sparse["g"] == g]["n"]))
+        assert {int(k): int(v) for k, v in sp.items()} == dense
