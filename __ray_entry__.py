@@ -2147,6 +2147,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(rows, columns=["parent", "child"]) \
             .sort_values(["parent", "child"]).reset_index(drop=True)
 
+    def snomed_descendants(sf_dir):
+        """get_all_children parity at corpus scale (reference
+        medcat/utils/preprocess_snomed.py dict walk): the descendant
+        set + generation depth of concept '1' in the ISA hierarchy via
+        ops/bfs.bfs_levels with an explicit root — string node ids
+        exercise the non-integer BFS path.  Oracle: recursive CTE over
+        the same derived edge SQL."""
+        import pandas as pd
+        import ray.data as rd
+        from medcat_ray.ops.bfs import bfs_levels
+        from medcat_ray.sources.snomed import pt2ch_map
+        path = os.path.join(_rf2_dir(sf_dir), "relationships.txt")
+        m = pt2ch_map(path)
+        rows = [(p, c) for p, cs in m.items() for c in cs]
+        edges = rd.from_pandas(pd.DataFrame(rows,
+                                            columns=["src", "dst"]))
+        roots = rd.from_items([{"node": "1"}])
+        out = bfs_levels(edges, roots=roots).to_pandas()
+        out["depth"] = out["depth"].astype("int64")
+        return out.sort_values("node").reset_index(drop=True)
+
     def doc_split_query(sf_dir):
         import ray.data as rd
         from medcat_ray.ops.split import add_split
@@ -2227,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_probe_stats": doc_quality_probe_stats,
         "user_funnel_stages": user_funnel_stages,
         "doc_len_loghist_by_lang": doc_len_loghist_by_lang,
+        "snomed_descendants": snomed_descendants,
         "doc_len_ntile": doc_len_ntile,
         "user_event_type_pivot": user_event_type_pivot,
         "hll_tokens_by_lang": hll_tokens_by_lang,
@@ -3435,6 +3457,18 @@ ORDER BY event_id
 """,
         "unigram_word_scores": _unigram_oracle(),
         "doc_quality_probe_stats": _probe_stats_oracle(),
+        "snomed_descendants": """
+WITH RECURSIVE e AS (
+  SELECT CAST(p_partkey % 97 AS VARCHAR) AS src,
+         CAST(p_partkey AS VARCHAR) AS dst
+  FROM part WHERE p_partkey % 3 <> 0 AND p_partkey % 2 = 0),
+d AS (SELECT '1' AS node, 0 AS depth
+      UNION
+      SELECT e.dst, d.depth + 1 FROM d JOIN e ON e.src = d.node
+      WHERE d.depth < 64)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+FROM d GROUP BY node ORDER BY node
+""",
         "doc_len_loghist_by_lang": """
 WITH b AS (
   SELECT lang, CASE WHEN n_chars < 64 THEN n_chars
