@@ -14,10 +14,12 @@ Shape (the ``user_sessions`` pattern — no per-key ``map_groups``):
    LAST right row per key (the only one later blocks can need).
 4. Recurse on the pending remainder (markers + unresolved lefts) —
    geometrically smaller (∝ keys-per-block-boundary, not rows) — and
-   finish with an ALWAYS-exact single-block pass over the residual
-   (O(keys + never-matching lefts) after the shrink passes; raise
-   ``max_passes`` to shrink further before the gather if that bound
-   ever matters).
+   finish with an ALWAYS-exact pass over the residual: a residual that
+   fits ``single_block_rows`` gathers into one block (O(keys +
+   never-matching lefts) after the shrink passes); a residual still
+   larger at ``max_passes`` is hash-sharded by key
+   (``groupby.map_groups``) instead — the exact finalize never
+   single-blocks an oversized residual.
 
 Left rows with no preceding right row anywhere get null match columns
 (left-outer semantics).  Right (key, time) pairs must be unique — the
@@ -107,19 +109,27 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str,
         n = cur.count()
         if n == 0:
             break
-        # final pass is ALWAYS exact: the residual (boundary-split lefts
-        # + one marker per key per prior block + never-matching lefts)
-        # gathers into one block — O(keys + unmatched), far below corpus
-        # size after the shrink passes; raise max_passes if that bound
-        # is ever the bottleneck
-        finalize = n <= single_block_rows or (it == max_passes - 1)
-        if finalize:
-            staged = cur.repartition(1)
+        # final pass is ALWAYS exact.  A residual that fits one block
+        # (O(keys + unmatched) after the shrink passes) gathers into it;
+        # a residual still larger than ``single_block_rows`` at the last
+        # pass is NEVER repartition(1)-ed — it hash-shards by key
+        # (groupby.map_groups) so the exact pass stays distributed even
+        # for high-cardinality key sets where most lefts never match.
+        small = n <= single_block_rows
+        finalize = small or (it == max_passes - 1)
+        fin_pass = _mk_pass(key, rcols, finalize=True, sort_in_block=True)
+        if finalize and small:
+            out = cur.repartition(1).map_batches(
+                fin_pass, batch_format="pandas",
+                batch_size=None).materialize()
+        elif finalize:
+            # sharded exact finalize: each key's rows land in one group
+            out = cur.groupby(key).map_groups(
+                fin_pass, batch_format="pandas").materialize()
         else:
-            staged = cur.sort([key, "__t", "__side"])
-        out = staged.map_batches(
-            _mk_pass(key, rcols, finalize, sort_in_block=finalize),
-            batch_format="pandas", batch_size=None).materialize()
+            out = cur.sort([key, "__t", "__side"]).map_batches(
+                _mk_pass(key, rcols, finalize=False, sort_in_block=False),
+                batch_format="pandas", batch_size=None).materialize()
 
         def _take_done(df: pd.DataFrame) -> pd.DataFrame:
             return df[df["__done"] & (df["__side"] == 1)]

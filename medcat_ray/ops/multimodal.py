@@ -36,6 +36,22 @@ import ray.data as rd
 # ---------------------------------------------------------------------------
 
 
+def try_decode(fn, data: bytes, strict: bool = False):
+    """Run a builtin decoder, mapping CORRUPT-payload errors (truncated
+    header/samples, unsupported variant of a recognized container) to
+    "undecodable" (None) so one bad row falls through to the documented
+    fake path instead of crashing the whole stage.  Under ``strict=True``
+    the original exception propagates (fail-loud)."""
+    import struct
+    import wave
+    try:
+        return fn(data)
+    except (ValueError, IndexError, EOFError, struct.error, wave.Error):
+        if strict:
+            raise
+        return None
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
     h, w = pixels.shape[:2]
@@ -268,7 +284,8 @@ class ImageDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas, feats = [], []
         for data in batch[self.data_col].to_pylist():
-            decoded = decode_netpbm(data) or decode_bmp(data)
+            decoded = try_decode(decode_netpbm, data, self.strict) \
+                or try_decode(decode_bmp, data, self.strict)
             if decoded is not None:
                 pixels, mode = decoded
                 h, w = pixels.shape[:2]
@@ -330,7 +347,8 @@ class ImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out, flags = [], []
         for data in batch[self.data_col].to_pylist():
-            decoded = decode_netpbm(data) or decode_bmp(data)
+            decoded = try_decode(decode_netpbm, data, self.strict) \
+                or try_decode(decode_bmp, data, self.strict)
             if decoded is None:
                 if self.strict:
                     raise NotImplementedError(
@@ -372,7 +390,7 @@ class AudioFrameSampleStage:
         from medcat_ray.ops.hashing import stable_u64
         frames, durations, decoders = [], [], []
         for data in batch[self.data_col].to_pylist():
-            decoded = decode_wav(data)
+            decoded = try_decode(decode_wav, data, self.strict)
             if decoded is not None:
                 samples, rate = decoded
                 durations.append(round(len(samples) / rate, 3))
@@ -421,7 +439,7 @@ class VideoFrameSampleStage:
         widths, heights, totals, fpss = [], [], [], []
         indices, means, decoders = [], [], []
         for data in batch[self.data_col].to_pylist():
-            decoded = decode_avi(data)
+            decoded = try_decode(decode_avi, data, self.strict)
             if decoded is not None:
                 frames, fps = decoded
                 total, h, w = frames.shape[:3]
@@ -469,10 +487,12 @@ class VideoFrameSampleStage:
 
 
 def decode_images(ds: rd.Dataset, data_col: str = "data",
-                  concurrency: int = 2, batch_size: int = 32) -> rd.Dataset:
+                  concurrency: int = 2, batch_size: int = 32,
+                  strict: bool = False) -> rd.Dataset:
     """Actor-pool image decode; small batches — binary payloads are wide."""
     return ds.map_batches(ImageDecodeStage,
-                          fn_constructor_kwargs=dict(data_col=data_col),
+                          fn_constructor_kwargs=dict(data_col=data_col,
+                                                     strict=strict),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
 
@@ -552,7 +572,8 @@ class ImageAHashStage:
         ids, hashes = [], []
         for i, data in zip(batch[self.id_col].to_pylist(),
                            batch[self.data_col].to_pylist()):
-            dec = decode_netpbm(data) or decode_bmp(data)
+            dec = try_decode(decode_netpbm, data, self.strict) \
+                or try_decode(decode_bmp, data, self.strict)
             if dec is None:
                 if self.strict:
                     raise NotImplementedError(
@@ -684,7 +705,7 @@ class AudioFingerprintStage:
         ids, fps = [], []
         for i, data in zip(batch[self.id_col].to_pylist(),
                            batch[self.data_col].to_pylist()):
-            dec = decode_wav_int(data)
+            dec = try_decode(decode_wav_int, data, self.strict)
             if dec is None:
                 if self.strict:
                     raise NotImplementedError(

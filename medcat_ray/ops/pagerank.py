@@ -31,6 +31,19 @@ pre-summed by destination (combiner) so the driver only merges
 lands on the driver.  Int64 safety is asserted up front
 (n_nodes · scale bounded), with a per-batch exact big-int fallback for
 weight products that would overflow.
+
+Like ``bfs_levels``, resolution is auto-gated on measured node count
+(:func:`pagerank`): a concept-graph-sized node set (≤ ``driver_limit``)
+runs :func:`pagerank_exact` — broadcast state, combiner partials, the
+fastest shape when the state fits one worker heap; an open-world node
+set runs :func:`pagerank_distributed` — each round is two hash joins
+(state onto edge sources, inflow back onto the node table) + one native
+groupby-Sum, nothing node-sized ever leaves the object store.  Both
+paths compute the IDENTICAL fixed-point integers (unit-tested equal).
+
+Edge weights must be ≥ 1 (fail-loud per batch): a source whose
+out-weights sum to zero would otherwise divide by zero and numpy would
+silently emit 0-contributions.
 """
 
 from __future__ import annotations
@@ -72,6 +85,10 @@ def pagerank_exact(edges: rd.Dataset, n_iter: int = 3,
         else:
             w = batch[w_expr].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
+            if w.size and int(w.min()) < 1:
+                raise ValueError(
+                    "pagerank: edge weights must be >= 1 (a zero-weight "
+                    f"source would divide by zero); got min={w.min()}")
         df = pd.DataFrame({"node": src.to_pandas(), "w_out": w})
         out_sum = df.groupby("node", sort=False)["w_out"].sum()
         d_df = pd.DataFrame({"node": dst.to_pandas()})
@@ -150,3 +167,149 @@ def pagerank_exact(edges: rd.Dataset, n_iter: int = 3,
         pr = base + inflow
 
     return pd.DataFrame({"node": nodes.to_numpy(), "pr": pr})
+
+
+def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
+                         scale: int = 10 ** 9,
+                         d_num: int = 85, d_den: int = 100,
+                         src_col: str = "src", dst_col: str = "dst",
+                         weight_col: Optional[str] = None,
+                         num_partitions: int = 16) -> rd.Dataset:
+    """Join-based exact integer PageRank for open-world node sets —
+    identical fixed-point arithmetic to :func:`pagerank_exact`, but the
+    node-sized state (node, od, pr) stays a Dataset: each round is two
+    hash joins + one native groupby-Sum, nothing node-sized on the
+    driver.  Returns a (node, pr) Dataset."""
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+    w_expr = weight_col
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].combine_chunks()
+        dst = batch[dst_col].combine_chunks()
+        if w_expr is None:
+            w = np.ones(batch.num_rows, dtype=np.int64)
+        else:
+            w = batch[w_expr].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if w.size and int(w.min()) < 1:
+                raise ValueError(
+                    "pagerank: edge weights must be >= 1 (a zero-weight "
+                    f"source would divide by zero); got min={w.min()}")
+        # dst rows contribute 0 out-weight so pure sinks still get a
+        # node row (and hence the base term)
+        return pa.table({
+            "node": pa.concat_arrays([src, dst.cast(src.type)]),
+            "w_out": pa.array(np.concatenate(
+                [w, np.zeros(batch.num_rows, dtype=np.int64)]))})
+
+    deg = edges.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("w_out", alias_name="od")) \
+        .repartition(num_partitions).materialize()
+    n = deg.count()
+    if n == 0:
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "pr": pa.array([], type=pa.int64())}))
+    if n * scale >= (1 << 62) // max(d_num, d_den):
+        raise ValueError(
+            f"n_nodes·scale too large for exact int64 path "
+            f"({n}·{scale}); lower `scale`")
+    base = ((d_den - d_num) * scale) // d_den
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pr", pa.array(np.full(batch.num_rows, scale,
+                                   dtype=np.int64)))
+
+    state = deg.map_batches(_init, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    for _ in range(n_iter):
+        # join the (node, od, pr) state onto edge sources
+        contrib_in = edges.join(
+            state, join_type="inner", num_partitions=num_partitions,
+            on=(src_col,), right_on=("node",)).materialize()
+
+        def _contrib(batch: pa.Table) -> pa.Table:
+            p = batch["pr"].to_numpy(zero_copy_only=False)
+            o = batch["od"].to_numpy(zero_copy_only=False)
+            if w_expr is None:
+                w = np.ones(batch.num_rows, dtype=np.int64)
+            else:
+                w = batch[w_expr].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+            per_src = (d_num * p) // (d_den * o)
+            if w.size and int(w.max()) * int(per_src.max()) >= (1 << 62):
+                c = np.array([int(a) * int(b)
+                              for a, b in zip(w, per_src)], dtype=object)
+            else:
+                c = w * per_src
+            # per-batch combiner: pre-sum by destination
+            df = pd.DataFrame(
+                {"node": batch[dst_col].to_pandas(),
+                 "c": c.astype(np.int64)})
+            g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        inflow = contrib_in.map_batches(_contrib, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("c", alias_name="c")) \
+            .repartition(num_partitions).materialize()
+
+        # fold inflow back onto the full node table (left outer: nodes
+        # with no inbound edges hold the base term)
+        state = deg.join(inflow, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=("node",)).materialize()
+
+        def _update(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            c = pc.coalesce(batch["c"],
+                            pa.scalar(0, type=batch["c"].type))
+            return pa.table({
+                "node": batch["node"], "od": batch["od"],
+                "pr": pc.add(pa.scalar(base, type=pa.int64()),
+                             c.cast(pa.int64()))})
+
+        state = state.map_batches(_update, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+
+    return state.select_columns(["node", "pr"])
+
+
+def pagerank(edges: rd.Dataset, n_iter: int = 3, scale: int = 10 ** 9,
+             d_num: int = 85, d_den: int = 100,
+             src_col: str = "src", dst_col: str = "dst",
+             weight_col: Optional[str] = None,
+             method: str = "auto",
+             driver_limit: int = 5_000_000,
+             num_partitions: int = 16) -> rd.Dataset:
+    """Auto-gated exact integer PageRank → (node, pr) Dataset.
+
+    ``method="auto"`` counts the distinct nodes (one groupby over the
+    already-materialized edges) and picks the broadcast driver path for
+    concept-graph-sized node sets (≤ ``driver_limit``) or the join-based
+    distributed rounds for open-world graphs — the ``bfs_levels`` gate
+    shape.  Both paths are unit-tested bit-identical."""
+    if method == "auto":
+        from ray.data.aggregate import Count
+        edges = edges.materialize()
+
+        def _nodes(batch: pa.Table) -> pa.Table:
+            s = batch[src_col].combine_chunks()
+            d = batch[dst_col].combine_chunks()
+            return pa.table(
+                {"node": pa.concat_arrays([s, d.cast(s.type)])})
+        n = edges.map_batches(_nodes, batch_format="pyarrow") \
+            .groupby("node").aggregate(Count(alias_name="_n")) \
+            .materialize().count()
+        method = "driver" if n <= driver_limit else "distributed"
+    if method == "driver":
+        return rd.from_pandas(pagerank_exact(
+            edges, n_iter=n_iter, scale=scale, d_num=d_num, d_den=d_den,
+            src_col=src_col, dst_col=dst_col, weight_col=weight_col))
+    return pagerank_distributed(
+        edges, n_iter=n_iter, scale=scale, d_num=d_num, d_den=d_den,
+        src_col=src_col, dst_col=dst_col, weight_col=weight_col,
+        num_partitions=num_partitions)

@@ -32,7 +32,11 @@ def rollup_counts(ds: rd.Dataset, cols: Sequence[str],
     agg = Count(alias_name="n") if weight_col is None \
         else Sum(weight_col, alias_name="n")
     fine = ds.groupby(cols).aggregate(agg).to_pandas()
-    fine["n"] = fine["n"].astype("int64")
+    # integer weights (and plain counts) stay int64; float weights keep
+    # their dtype — "n is the sum of weight_col", never truncated
+    int_n = pd.api.types.is_integer_dtype(fine["n"])
+    if int_n:
+        fine["n"] = fine["n"].astype("int64")
     levels: List[pd.DataFrame] = [fine[cols + ["n"]]]
     cur = fine
     for i in range(len(cols) - 1, -1, -1):
@@ -40,11 +44,13 @@ def rollup_counts(ds: rd.Dataset, cols: Sequence[str],
         if keep:
             cur = cur.groupby(keep, as_index=False)["n"].sum()
         else:
-            cur = pd.DataFrame({"n": [int(cur["n"].sum())]})
+            tot = cur["n"].sum()
+            cur = pd.DataFrame({"n": [int(tot) if int_n else float(tot)]})
         lvl = cur.copy()
         for c in cols[i:]:
             lvl[c] = ALL
         levels.append(lvl[cols + ["n"]])
     out = pd.concat(levels, ignore_index=True)
-    out["n"] = out["n"].astype("int64")
+    if int_n:
+        out["n"] = out["n"].astype("int64")
     return out.sort_values(cols).reset_index(drop=True)

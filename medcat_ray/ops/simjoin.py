@@ -48,8 +48,10 @@ def _drop_hot_buckets(lb: rd.Dataset, rb: rd.Dataset,
                       max_bucket: int) -> tuple:
     """Remove (band, band_hash) keys with > max_bucket members on
     either side from BOTH bucket tables.  The oversize list is found by
-    one native groupby-count per side and applied as a broadcast
-    np.isin probe on a combined 128-bit key — no shuffle join."""
+    one native groupby-count per side and applied as a broadcast probe
+    on the EXACT (band, band_hash) pair — a per-band sorted hash array,
+    so no composite-key collision can prune an innocent bucket — with
+    no shuffle join (band cardinality is the small ``bands`` constant)."""
     import logging
 
     import numpy as np
@@ -65,27 +67,38 @@ def _drop_hot_buckets(lb: rd.Dataset, rb: rd.Dataset,
             return batch.filter(pc.greater(batch["n"], max_bucket)) \
                 .select(["band", "band_hash"])
         hot = counts.map_batches(big, batch_format="pyarrow").to_pandas()
-        return (hot["band"].to_numpy().astype(np.int64) << np.int64(40)) \
-            ^ hot["band_hash"].to_numpy().astype(np.int64)
+        return np.stack([hot["band"].to_numpy().astype(np.int64),
+                         hot["band_hash"].to_numpy().astype(np.int64)],
+                        axis=1) if len(hot) else \
+            np.empty((0, 2), dtype=np.int64)
 
-    hot = np.union1d(oversized(lb), oversized(rb))
-    if len(hot) == 0:
+    pairs = np.concatenate([oversized(lb), oversized(rb)], axis=0)
+    if len(pairs) == 0:
         return lb, rb
+    # exact per-band lookup: band → sorted unique hash array
+    hot_map = {int(b): np.unique(pairs[pairs[:, 0] == b, 1])
+               for b in np.unique(pairs[:, 0])}
+    n_hot = sum(len(v) for v in hot_map.values())
     logging.getLogger(__name__).warning(
         "similarity_join: dropping %d oversized LSH buckets "
-        "(max_bucket=%d)", len(hot), max_bucket)
-    hot_ref = ray.put(np.sort(hot))
+        "(max_bucket=%d)", n_hot, max_bucket)
+    hot_ref = ray.put(hot_map)
 
     def prune(batch: pa.Table) -> pa.Table:
         import ray as _ray
-        h = _ray.get(hot_ref)
-        key = (batch["band"].to_numpy(zero_copy_only=False)
-               .astype(np.int64) << np.int64(40)) \
-            ^ batch["band_hash"].to_numpy(zero_copy_only=False) \
+        hm = _ray.get(hot_ref)
+        band = batch["band"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        pos = np.searchsorted(h, key)
-        pos = np.minimum(pos, len(h) - 1)
-        return batch.filter(pa.array(h[pos] != key))
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        drop = np.zeros(len(band), dtype=bool)
+        for b, hashes in hm.items():            # ≤ `bands` iterations
+            in_band = band == b
+            if in_band.any():
+                pos = np.searchsorted(hashes, bh[in_band])
+                pos = np.minimum(pos, len(hashes) - 1)
+                drop[in_band] = hashes[pos] == bh[in_band]
+        return batch.filter(pa.array(~drop))
 
     return (lb.map_batches(prune, batch_format="pyarrow"),
             rb.map_batches(prune, batch_format="pyarrow"))

@@ -450,9 +450,12 @@ def spherical_kmeans_assign_sql(src_sql: str, k: int, dim: int,
   GROUP BY {a}.cluster, d.dim)""")
         parts.append(f"""{c} AS (
   SELECT cluster, LIST(mu ORDER BY dim) AS cv FROM {m} GROUP BY cluster)""")
+        # empty-cluster backfill joins the PREVIOUS round's centroids
+        # (the engine keeps C_new = C.copy()), not the initial c0 —
+        # matters from n_iter >= 3 when a cluster empties after round 1
         parts.append(f"""{cf} AS (
-  SELECT c0.cluster, COALESCE({c}.cv, c0.cv) AS cv
-  FROM c0 LEFT JOIN {c} USING (cluster))""")
+  SELECT p.cluster, COALESCE({c}.cv, p.cv) AS cv
+  FROM {cents} p LEFT JOIN {c} USING (cluster))""")
         cents = cf
     parts.append(assign("afin", cents))
     return ",\n".join(parts)

@@ -1,16 +1,25 @@
 """Triangle counting over an undirected edge list (graph clustering
 structure for the concept co-occurrence KG).  No analogue in the
-reference; classic graph analytics, implemented as the standard
-two-join plan:
+reference; classic graph analytics, implemented with the standard
+DEGREE-ORDERED orientation (compact-forward / Latapy):
 
   canonical edges (a < b)
-    ⋈ on b → wedges (a < b < c)
-    ⋈ closing edge (a, c) → triangles
+    → orient each edge from its lower-(degree, id) endpoint to the
+      higher one, so every vertex's OUT-degree is ≤ O(√m)
+    ⋈ self-join on the tail → wedges (u→v, u→w), rank(v) < rank(w)
+    ⋈ closing oriented edge (v→w) → each triangle found EXACTLY once
+      (at its lowest-rank corner)
 
-Scale shape: both joins are hash joins keyed by vertex / vertex-pair —
-nothing driver-sized anywhere; the wedge stream is Σ deg(v)² which is
-the irreducible cost of exact triangle listing (at web scale, cap it
-upstream by degree-thresholding hub vertices before calling this).
+Scale shape: all joins are hash joins keyed by vertex / vertex-pair —
+nothing driver-sized anywhere.  The orientation bounds the wedge
+stream at Σ outdeg(v)² = O(m^1.5) instead of the naive Σ deg(v)²,
+which is what defuses Zipf-skewed hubs (a pure hub/star vertex has
+out-degree ~0 after orientation, so it contributes no wedges at all —
+the head-CUI skew case, SURVEY §7.3).  ``max_degree`` additionally
+DROPS vertices above a degree threshold up front (one native
+groupby-count), giving the degree-bounded-subgraph approximation when
+even the oriented plan is too hot.
+
 Joins are materialized stage-by-stage — Ray 2.49 aggregator actors
 deadlock when two joins run concurrently in one streaming plan (see
 verify skill notes), and a groupby's empty blocks need a repartition
@@ -22,6 +31,8 @@ increments all three of its corners.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -30,10 +41,24 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 
+def _rank_lt(da, na, db, nb):
+    """Arrow bool array: (deg_a, node_a) < (deg_b, node_b) lexicographic —
+    the orientation total order (degree, then id as tie-break)."""
+    return pc.or_(pc.less(da, db),
+                  pc.and_(pc.equal(da, db), pc.less(na, nb)))
+
+
 def triangle_counts(edges: rd.Dataset, src_col: str = "src",
                     dst_col: str = "dst",
-                    num_partitions: int = 4) -> rd.Dataset:
-    """(node, triangles) for every vertex in ≥1 triangle."""
+                    num_partitions: int = 4,
+                    max_degree: Optional[int] = None) -> rd.Dataset:
+    """(node, triangles) for every vertex in ≥1 triangle.
+
+    ``max_degree``: if set, vertices with degree > ``max_degree`` are
+    dropped before counting (one groupby-count pass) — the result is the
+    exact triangle count of the degree-bounded subgraph.  Leave None for
+    the exact full-graph count (the degree orientation already bounds
+    the wedge volume at O(m^1.5))."""
     def canonical(batch: pa.Table) -> pa.Table:
         a = batch[src_col].combine_chunks()
         b = batch[dst_col].combine_chunks()
@@ -51,33 +76,102 @@ def triangle_counts(edges: rd.Dataset, src_col: str = "src",
     if canon.count() == 0:
         return rd.from_items([])
 
-    # wedges a-b-c with a<b<c: join (a,b) with (b,c) on the middle vertex
-    def as_mid(batch: pa.Table) -> pa.Table:
-        return pa.table({"m": batch["a"], "c": batch["b"]})
+    # per-vertex degree over the distinct canonical edges (one groupby)
+    def _ends(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks()
+        b = batch["b"].combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b.cast(a.type)]),
+                         "d": pa.array(np.ones(2 * batch.num_rows,
+                                               dtype=np.int64))})
 
-    mids = canon.map_batches(as_mid, batch_format="pyarrow") \
+    deg = canon.map_batches(_ends, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="deg")) \
         .repartition(num_partitions).materialize()
-    wedges = canon.join(mids, join_type="inner",
-                        num_partitions=num_partitions,
-                        on=("b",), right_on=("m",)).materialize()
 
-    # close the wedge: (a, c) must be a canonical edge
+    if max_degree is not None:
+        def _ok(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.less_equal(batch["deg"], max_degree))
+        deg = deg.map_batches(_ok, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+        if deg.count() == 0:
+            return rd.from_items([])
+
+    # attach degrees to both endpoints (two hash joins, node-keyed);
+    # with max_degree the inner joins drop hub-incident edges for free
+    def _deg_as(node: str, out: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({node: batch["node"], out: batch["deg"]})
+        return f
+
+    with_da = canon.join(
+        deg.map_batches(_deg_as("na", "da"), batch_format="pyarrow")
+           .repartition(num_partitions).materialize(),
+        join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("na",)).materialize()
+    with_deg = with_da.join(
+        deg.map_batches(_deg_as("nb", "db"), batch_format="pyarrow")
+           .repartition(num_partitions).materialize(),
+        join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("nb",)).materialize()
+
+    # orient: tail = lower (degree, id) endpoint, head = higher —
+    # out-degree is then ≤ O(√m) for every vertex
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks()
+        b = batch["b"].combine_chunks()
+        da = batch["da"].combine_chunks()
+        db = batch["db"].combine_chunks()
+        fwd = _rank_lt(da, a, db, b)
+        return pa.table({
+            "t": pc.if_else(fwd, a, b), "h": pc.if_else(fwd, b, a),
+            "dt": pc.if_else(fwd, da, db), "dh": pc.if_else(fwd, db, da)})
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    # wedges (u→v, u→w) with rank(v) < rank(w): self-join on the tail
+    def as_second(batch: pa.Table) -> pa.Table:
+        return pa.table({"t2": batch["t"], "w": batch["h"],
+                         "dw": batch["dh"]})
+
+    second = oriented.map_batches(as_second, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    wedges = oriented.join(second, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("t",), right_on=("t2",)).materialize()
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = _rank_lt(batch["dh"].combine_chunks(),
+                        batch["h"].combine_chunks(),
+                        batch["dw"].combine_chunks(),
+                        batch["w"].combine_chunks())
+        out = batch.filter(keep)
+        return pa.table({"u": out["t"], "v": out["h"], "wv": out["w"]})
+
+    wedges = wedges.map_batches(ordered, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    if wedges.count() == 0:     # no wedges -> no triangles (and empty
+        return rd.from_items([])  # blocks would trip the Ray 2.49 join)
+
+    # close the wedge: (v, w) must be an oriented edge (rank(v)<rank(w)
+    # on both sides, so the oriented table matches directly)
     def as_close(batch: pa.Table) -> pa.Table:
-        return pa.table({"ca": batch["a"], "cb": batch["b"],
-                         "hit": pa.array(np.ones(batch.num_rows,
-                                                 dtype=np.int64))})
+        return pa.table({"cv": batch["t"], "cw": batch["h"]})
 
-    closers = canon.map_batches(as_close, batch_format="pyarrow") \
+    closers = oriented.map_batches(as_close, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
     tri = wedges.join(closers, join_type="inner",
                       num_partitions=num_partitions,
-                      on=("a", "c"), right_on=("ca", "cb")).materialize()
+                      on=("v", "wv"), right_on=("cv", "cw")).materialize()
 
-    # one row per triangle (a<b<c); credit all three corners
+    # one row per triangle (u, v, w distinct corners, found once);
+    # credit all three corners
     def corners(batch: pa.Table) -> pa.Table:
-        nodes = pa.concat_arrays([batch["a"].combine_chunks(),
-                                  batch["b"].combine_chunks(),
-                                  batch["c"].combine_chunks()])
+        u = batch["u"].combine_chunks()
+        nodes = pa.concat_arrays([u,
+                                  batch["v"].combine_chunks().cast(u.type),
+                                  batch["wv"].combine_chunks().cast(u.type)])
         return pa.table({"node": nodes,
                          "t": pa.array(np.ones(len(nodes),
                                                dtype=np.int64))})

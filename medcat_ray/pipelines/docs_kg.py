@@ -700,6 +700,47 @@ FROM ents e
 """)
 
 
+def meta_bilstm_oracle_sql() -> str:
+    """Twin of kg_meta_bilstm: the planted saturated BiLSTM computes the
+    MetaRule left-window trigger rule with confidence exactly 1.0 (see
+    stages/bilstm.rule_negation_weights for the float64-exactness
+    argument), so the NN query is fully SQL-derivable."""
+    trig = ", ".join(f"'{t}'" for t in META_TRIGGERS)
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT e.doc_id, e.start_pos, e.cui,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM pos q
+         WHERE q.doc_id = e.doc_id
+           AND q.i BETWEEN e.tok_i - 15 AND e.tok_i - 1
+           AND q.tok IN ({trig}))
+       THEN 'Negated' ELSE 'Affirmed' END AS value,
+       CAST(1.0 AS DOUBLE) AS confidence
+FROM ents e
+""")
+
+
+def rel_bert_oracle_sql(window: int = 60) -> str:
+    """Twin of kg_rel_bert: the planted saturated BERT pair classifier
+    labels a pair 'operates_on' iff the SUBJECT token is a T_OP concept
+    word (see stages/bert.rule_rel_weights), over the same
+    window-bounded pair enumeration as RelScoreStage (sorted starts,
+    distance ≤ window, distinct source values)."""
+    ops = ", ".join(f"'{w}'" for w, t in sorted(DOC_TYPES.items())
+                    if t == "T_OP")
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT s.cui AS subj_cui,
+       CASE WHEN s.source_value IN ({ops}) THEN 'operates_on'
+            ELSE 'none' END AS pred,
+       o.cui AS obj_cui, count(*) AS count
+FROM ents s JOIN ents o
+  ON s.doc_id = o.doc_id
+ AND o.start_pos > s.start_pos
+ AND o.start_pos - s.start_pos <= {window}
+ AND s.source_value <> o.source_value
+GROUP BY 1, 2, 3
+""")
+
+
 def kg_deid(sf_dir: str) -> rd.Dataset:
     """SQL-checked DeId (M15): concept tokens replaced by
     ``[<preferred name>]`` (which equals the token for this frozen CDB)."""
@@ -756,6 +797,29 @@ def kg_train_counts(sf_dir: str) -> pd.DataFrame:
 def train_counts_oracle_sql() -> str:
     return (TOKEN_CTE.format(concepts=concept_values_sql())
             + "SELECT cui, count(*) AS n_train FROM ents GROUP BY cui")
+
+
+def cdb_stats_oracle_sql() -> str:
+    """Twin of the cdb_stats query (A3): the frozen CDB is trained on
+    the corpus first, so n_concepts_trained / avg_train_per_trained are
+    table-derivable (distinct CUIs mentioned / mean mentions per trained
+    CUI); the structural counts equal the frozen concept list size."""
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+, cstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(count(DISTINCT cui) AS BIGINT) AS trained
+  FROM ents)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM {concept_values_sql()}) AS n_concepts,
+       (SELECT CAST(count(DISTINCT name) AS BIGINT)
+        FROM {concept_values_sql()}) AS n_names,
+       (SELECT CAST(count(DISTINCT name) AS BIGINT)
+        FROM {concept_values_sql()}) AS n_snames,
+       trained AS n_concepts_trained,
+       ROUND(total * 1.0 / GREATEST(trained, 1), 6)
+         AS avg_train_per_trained
+FROM cstats
+""")
 
 
 def pages_flagship_oracle_sql() -> str:
@@ -954,9 +1018,15 @@ def kg_meta_pipe(sf_dir: str) -> rd.Dataset:
 def kg_meta_bilstm(sf_dir: str) -> pd.DataFrame:
     """T2 neural path: the numpy BiLSTM MetaCAT scorer (stages/bilstm.py,
     reference meta_cat.py:447-634 eval semantics) over every linked
-    entity, via the SAME actor-pool meta stage as kg_meta."""
+    entity, via the SAME actor-pool meta stage as kg_meta.
+
+    SQL-checkable: the weights are the PLANTED saturated set
+    (stages/bilstm.rule_negation_weights) whose full LSTM forward
+    provably equals the MetaRule trigger-in-left-window rule with
+    confidence exactly 1.0 — the random-weight forward stays pinned by
+    tests/test_bilstm.py's naive-transcription twin."""
     from medcat_ray.stages.bilstm import (BiLSTMMetaScorer, NumpyBiLSTM,
-                                          random_weights)
+                                          rule_negation_weights)
     from medcat_ray.stages.meta import meta_annotate
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
@@ -971,10 +1041,10 @@ def kg_meta_bilstm(sf_dir: str) -> pd.DataFrame:
     tok2id = _docs_token_vocab()
     scorer = BiLSTMMetaScorer(
         "Negation",
-        NumpyBiLSTM(random_weights(vocab_size=len(tok2id) + 2,
-                                   embedding_size=8, hidden_size=16,
-                                   nclasses=2, num_layers=2, seed=42),
-                    padding_idx=0),
+        NumpyBiLSTM(rule_negation_weights(
+            vocab_size=len(tok2id) + 2,
+            trigger_ids=[tok2id[t] for t in META_TRIGGERS]),
+            padding_idx=0, num_layers=1),
         tok2id, {0: "Affirmed", 1: "Negated"})
     meta = meta_annotate(ann, rules=[scorer], concurrency=2)
 
@@ -1007,12 +1077,20 @@ def kg_rel_bert(sf_dir: str) -> pd.DataFrame:
     """T3 neural path: the numpy BERT pair classifier (stages/bert.py,
     reference rel_cat.py:551-611 + relation_extraction/models.py:170-222)
     over window-bounded entity pairs, via the RelScoreStage actor pool;
-    grouped relation counts."""
+    grouped relation counts.
+
+    SQL-checkable: the weights are the PLANTED saturated set
+    (stages/bert.rule_rel_weights) whose full encoder + pair-head
+    forward provably equals "operates_on iff the subject token is a
+    T_OP concept word" with confidence exactly 1.0 — the random-weight
+    forward stays pinned by tests/test_bert.py's hand-computed twin.
+    max_len=120 covers every testdata document (max 100 words), so no
+    truncation complicates the oracle."""
     import ray
     from ray.data.aggregate import Count
     from medcat_ray.stages.bert import (BertRelScorer,
                                         NumpyBertRelClassifier,
-                                        random_bert_weights)
+                                        rule_rel_weights)
     from medcat_ray.stages.rel_model import score_relations
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
@@ -1025,13 +1103,14 @@ def kg_rel_bert(sf_dir: str) -> pd.DataFrame:
                                    keep_columns=("text",)),
         batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=1)
     tok2id = _docs_token_vocab()
+    op_ids = [tok2id[w] for w, t in sorted(DOC_TYPES.items())
+              if t == "T_OP"]
     scorer = BertRelScorer(
         NumpyBertRelClassifier(
-            random_bert_weights(vocab_size=len(tok2id) + 2, hidden=16,
-                                num_layers=1, num_heads=2, rel_classes=2,
-                                max_pos=80, seed=42),
+            rule_rel_weights(vocab_size=len(tok2id) + 2,
+                             trigger_ids=op_ids, max_pos=128),
             num_layers=1, num_heads=2),
-        tok2id, {0: "operates_on", 1: "none"}, max_len=78)
+        tok2id, {0: "operates_on", 1: "none"}, max_len=120)
     rels = score_relations(ann, scorer, window=60, key_column="doc_id",
                            concurrency=2)
     out = rels.groupby(["subj_cui", "pred", "obj_cui"]).aggregate(

@@ -273,6 +273,70 @@ def random_bert_weights(vocab_size: int, hidden: int, num_layers: int,
     return w
 
 
+def rule_rel_weights(vocab_size: int, trigger_ids: Sequence[int],
+                     max_pos: int = 128,
+                     prefix: str = "bert.") -> Dict[str, np.ndarray]:
+    """PLANTED saturated weights for :class:`NumpyBertRelClassifier`: the
+    full encoder + pair-head forward provably computes "class 0 iff the
+    e1 (subject) start token is a trigger token" with confidence EXACTLY
+    1.0 — the driver-oracle trick for ``kg_rel_bert`` (the random-weight
+    forward stays pinned by tests/test_bert.py's hand-computed twin).
+
+    Construction (sign-exact through every float64 op):
+
+    * word embeddings: triggers → (1, −1, 1, −1), everything else →
+      (1, −1, −1, 1); position/token-type embeddings zero; all LayerNorm
+      scales 1 / biases 0.  Each embedding row has mean 0 and variance 1
+      EXACTLY, so every LayerNorm only rescales by 1/√(1+eps) —
+      coordinate 2's SIGN encodes "is trigger" untouched;
+    * all attention Q/K/V/output and FFN weights zero: attention adds 0
+      (uniform probs × zero values) and the residual LayerNorms again
+      preserve sign, so the final hidden state of token t is a function
+      of token t alone;
+    * pooler zero → pooled ≡ 0; head: fc1 picks 100 × coordinate 2 of
+      h[e1_start] (concat offset 4+2), fc2 passes through, fc3 emits
+      (+z, −z) — |logit gap| ≈ 200, so max softmax = 1.0 exactly.
+    """
+    hidden, nh = 4, 2
+    p = prefix
+    w: Dict[str, np.ndarray] = {}
+    emb = np.tile(np.array([1.0, -1.0, -1.0, 1.0]), (vocab_size, 1))
+    for t in trigger_ids:
+        emb[int(t)] = np.array([1.0, -1.0, 1.0, -1.0])
+    w[f"{p}embeddings.word_embeddings.weight"] = emb
+    w[f"{p}embeddings.position_embeddings.weight"] = np.zeros((max_pos,
+                                                               hidden))
+    w[f"{p}embeddings.token_type_embeddings.weight"] = np.zeros((2, hidden))
+    w[f"{p}embeddings.LayerNorm.weight"] = np.ones(hidden)
+    w[f"{p}embeddings.LayerNorm.bias"] = np.zeros(hidden)
+    L = f"{p}encoder.layer.0"
+    for part in ("attention.self.query", "attention.self.key",
+                 "attention.self.value", "attention.output.dense"):
+        w[f"{L}.{part}.weight"] = np.zeros((hidden, hidden))
+        w[f"{L}.{part}.bias"] = np.zeros(hidden)
+    w[f"{L}.attention.output.LayerNorm.weight"] = np.ones(hidden)
+    w[f"{L}.attention.output.LayerNorm.bias"] = np.zeros(hidden)
+    w[f"{L}.intermediate.dense.weight"] = np.zeros((4 * hidden, hidden))
+    w[f"{L}.intermediate.dense.bias"] = np.zeros(4 * hidden)
+    w[f"{L}.output.dense.weight"] = np.zeros((hidden, 4 * hidden))
+    w[f"{L}.output.dense.bias"] = np.zeros(hidden)
+    w[f"{L}.output.LayerNorm.weight"] = np.ones(hidden)
+    w[f"{L}.output.LayerNorm.bias"] = np.zeros(hidden)
+    w[f"{p}pooler.dense.weight"] = np.zeros((hidden, hidden))
+    w[f"{p}pooler.dense.bias"] = np.zeros(hidden)
+    fc1 = np.zeros((hidden, 3 * hidden))
+    fc1[0, hidden + 2] = 100.0            # coordinate 2 of h[e1_start]
+    w["fc1.weight"], w["fc1.bias"] = fc1, np.zeros(hidden)
+    fc2 = np.zeros((hidden, hidden))
+    fc2[0, 0] = 1.0
+    w["fc2.weight"], w["fc2.bias"] = fc2, np.zeros(hidden)
+    w["fc3.weight"] = np.array([[1.0, 0.0, 0.0, 0.0],
+                                [-1.0, 0.0, 0.0, 0.0]])
+    w["fc3.bias"] = np.zeros(2)
+    assert nh == 2 and hidden % nh == 0
+    return w
+
+
 def save_weights(weights: Dict[str, np.ndarray], path: str,
                  **meta: int) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

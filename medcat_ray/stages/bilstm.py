@@ -219,6 +219,52 @@ def random_weights(vocab_size: int, embedding_size: int, hidden_size: int,
     return w
 
 
+def rule_negation_weights(vocab_size: int,
+                          trigger_ids: Sequence[int],
+                          padding_idx: int = 0) -> Dict[str, np.ndarray]:
+    """PLANTED saturated weights: a 1-layer BiLSTM whose forward pass
+    computes exactly "class 1 iff any trigger token appears at or before
+    the last center position (within the window)" with confidence
+    EXACTLY 1.0 — which makes the full NN forward SQL-derivable (the
+    driver-oracle trick for ``kg_meta_bilstm``).
+
+    Construction (all arithmetic float64-EXACT, not approximate):
+
+    * embedding dim 1: trigger tokens → 1.0, everything else → 0.0;
+    * forward LSTM unit with i = f = o = sigmoid(50) = 1.0 exactly
+      (``1 + e^-50`` rounds to 1.0 in float64) and g = tanh(50·x) ∈
+      {0.0, 1.0} exactly — so the cell state c COUNTS the triggers seen
+      so far and h = tanh(c) is 0.0 iff none;
+    * backward direction all-zero → h_bwd ≡ 0 (only the LEFT-looking
+      direction decides, matching the reference rule's scope="left"
+      plus the entity tokens themselves);
+    * head: logits = (30 − 100·h_fwd, 100·h_fwd − 30), so the logit gap
+      is ≥ 60 either way and max softmax = 1/(1 + e^-gap) = 1.0 exactly.
+
+    The center (entity) tokens sit after the left window, so with
+    trigger-free center tokens this equals the MetaRule lexicon rule
+    over the 15-token left window — same SQL oracle."""
+    h = 1                                    # per-direction hidden units
+    w: Dict[str, np.ndarray] = {
+        "embeddings.weight": np.zeros((vocab_size, 1)),
+        "fc1.weight": np.array([[-100.0, 0.0], [100.0, 0.0]]),
+        "fc1.bias": np.array([30.0, -30.0]),
+    }
+    for t in trigger_ids:
+        w["embeddings.weight"][int(t), 0] = 1.0
+    w["embeddings.weight"][padding_idx, 0] = 0.0
+    # gate order i, f, g, o
+    w["rnn.weight_ih_l0"] = np.array([[0.0], [0.0], [50.0], [0.0]])
+    w["rnn.weight_hh_l0"] = np.zeros((4 * h, h))
+    w["rnn.bias_ih_l0"] = np.array([50.0, 50.0, 0.0, 50.0])
+    w["rnn.bias_hh_l0"] = np.zeros(4 * h)
+    for part, shape in (("weight_ih", (4 * h, 1)),
+                        ("weight_hh", (4 * h, h)),
+                        ("bias_ih", (4 * h,)), ("bias_hh", (4 * h,))):
+        w[f"rnn.{part}_l0_reverse"] = np.zeros(shape)
+    return w
+
+
 class BiLSTMMetaScorer:
     """Adapts :class:`NumpyBiLSTM` to the MetaAnnotateStage scorer seam.
 

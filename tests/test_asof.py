@@ -150,3 +150,37 @@ def test_asof_both_inputs_empty(ray_session):
     # Ray's to_pandas() drops columns on a 0-row dataset; the dataset
     # schema is the stable contract
     assert {"k", "lt", "lid", "asof_time", "asof_v"} <= set(got.schema().names)
+
+
+def test_asof_oversized_residual_sharded_finalize(ray_session):
+    # residual (never-matching lefts) far exceeds single_block_rows at
+    # max_passes: the exact finalize must hash-shard by key instead of
+    # gathering one giant block, and still match pandas merge_asof
+    rng = np.random.default_rng(11)
+    nl = 400
+    lt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10**6, nl), unit="s")
+    # high-cardinality keys, right side covers none of them
+    left = pd.DataFrame({"k": np.arange(nl), "lt": lt, "lid": np.arange(nl)})
+    right = pd.DataFrame({"k": [10**6], "rt": [lt[0]], "v": [1.0]})
+    exp = pd.merge_asof(left.sort_values("lt"), right.sort_values("rt"),
+                        left_on="lt", right_on="rt", by="k") \
+        .sort_values("lid").reset_index(drop=True)
+    got = asof_join(rd.from_pandas(left).repartition(6),
+                    rd.from_pandas(right), key="k", left_time="lt",
+                    right_time="rt", right_vals=["v"],
+                    max_passes=2, single_block_rows=20).to_pandas()
+    _check(got, exp)
+    assert got["asof_time"].isna().all()
+
+
+def test_asof_sharded_finalize_with_matches(ray_session):
+    # mixed residual: some keys match, many never do; tiny
+    # single_block_rows + max_passes=1 forces the sharded finalize on
+    # the FIRST pass (every row is residual)
+    left, right, exp = _fixture(nl=300, nr=120, nk=40)
+    got = asof_join(rd.from_pandas(left).repartition(5),
+                    rd.from_pandas(right).repartition(3), key="k",
+                    left_time="lt", right_time="rt", right_vals=["v"],
+                    max_passes=1, single_block_rows=10).to_pandas()
+    _check(got, exp)

@@ -299,3 +299,32 @@ def test_audio_fingerprint_strict_raises(ray_session):
     with pytest.raises(Exception, match="WAV"):
         add_audio_fingerprint(ds, strict=True).take_all()
     assert add_audio_fingerprint(ds, strict=False).count() == 0
+
+
+def test_truncated_payloads_fall_through_not_crash(ray_session):
+    """A payload that merely STARTS like P6/BM/RIFF but is truncated or
+    an unsupported variant must fall through to the fake decoder under
+    strict=False (one bad row must not crash the stage) and raise only
+    under strict=True."""
+    import pyarrow as pa
+    import ray.data as rd
+    from medcat_ray.ops.multimodal import (decode_images, try_decode,
+                                           decode_netpbm, decode_bmp)
+    bad = [b"P6\n5 5\n255\n" + b"\x00" * 3,   # truncated samples
+           b"P6\n5",                           # truncated header
+           b"P5\n2 2\n",                       # missing maxval field
+           b"BM" + b"\x00" * 60,               # 0bpp "BMP"
+           b"RIFF1234WAVE"]                    # truncated WAV
+    for payload in bad[:4]:
+        assert try_decode(decode_netpbm, payload) is None or \
+            try_decode(decode_bmp, payload) is None
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(bad))),
+        "data": pa.array(bad, type=pa.binary())}))
+    out = decode_images(ds, strict=False, concurrency=1).to_pandas()
+    assert len(out) == len(bad)
+    assert all(m["decoder"] == "fake" for m in out["image_meta"])
+    import pytest
+    with pytest.raises(Exception, match="truncat|unsupported|invalid|"
+                       "cannot|not a|negative|buffer|out of range"):
+        decode_images(ds, strict=True, concurrency=1).materialize()

@@ -73,3 +73,43 @@ def test_scale_guard(ray_session):
     ds = rd.from_items([{"src": "a", "dst": "b", "w": 1}])
     with pytest.raises(ValueError, match="scale"):
         pagerank_exact(ds, n_iter=1, weight_col="w", scale=1 << 62)
+
+
+def test_distributed_matches_driver_bitwise(ray_session):
+    from medcat_ray.ops.pagerank import pagerank, pagerank_distributed
+    ds = rd.from_items([{"src": s, "dst": d, "w": w}
+                        for s, d, w in EDGES]).repartition(3)
+    want = _hand(EDGES, 3)
+    dist = pagerank_distributed(ds, n_iter=3, weight_col="w",
+                                num_partitions=3).to_pandas()
+    assert dict(zip(dist["node"], dist["pr"])) == want
+    # the auto gate picks the driver path for this tiny graph …
+    auto = pagerank(ds, n_iter=3, weight_col="w").to_pandas()
+    assert dict(zip(auto["node"], auto["pr"])) == want
+    # … and driver_limit=0 forces the distributed path through the gate
+    forced = pagerank(ds, n_iter=3, weight_col="w",
+                      driver_limit=0, num_partitions=3).to_pandas()
+    assert dict(zip(forced["node"], forced["pr"])) == want
+
+
+def test_distributed_unweighted_and_empty(ray_session):
+    from medcat_ray.ops.pagerank import pagerank_distributed
+    raw = rd.from_items([{"src": s, "dst": d}
+                         for s, d, w in EDGES
+                         for _ in range(w)]).repartition(4)
+    out = pagerank_distributed(raw, n_iter=2).to_pandas()
+    assert dict(zip(out["node"], out["pr"])) == _hand(EDGES, 2)
+    empty = rd.from_items([{"src": "a", "dst": "b", "w": 1}]).filter(
+        lambda r: False)
+    assert pagerank_distributed(empty, n_iter=1,
+                                weight_col="w").count() == 0
+
+
+def test_zero_weight_fails_loud(ray_session):
+    from medcat_ray.ops.pagerank import pagerank_distributed
+    ds = rd.from_items([{"src": "a", "dst": "b", "w": 0},
+                        {"src": "b", "dst": "a", "w": 1}])
+    with pytest.raises(Exception, match="weights must be >= 1"):
+        pagerank_exact(ds, n_iter=1, weight_col="w")
+    with pytest.raises(Exception, match="weights must be >= 1"):
+        pagerank_distributed(ds, n_iter=1, weight_col="w").materialize()

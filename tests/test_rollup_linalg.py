@@ -64,3 +64,14 @@ def test_pca_components_recover_direction(ray_session):
     # first component aligns with the largest-variance basis vector
     assert abs(np.dot(comps[0], basis[:, 0])) > 0.99
     assert comps[0][np.argmax(np.abs(comps[0]))] > 0   # sign convention
+
+
+def test_rollup_float_weights_not_truncated(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from medcat_ray.ops.rollup import ALL, rollup_counts
+    df = pd.DataFrame({"a": ["x", "x", "y"], "w": [0.5, 0.25, 1.5]})
+    got = rollup_counts(rd.from_pandas(df), ["a"], weight_col="w")
+    vals = dict(zip(got["a"], got["n"]))
+    assert vals["x"] == 0.75 and vals["y"] == 1.5
+    assert vals[ALL] == 2.25          # fractional grand total preserved

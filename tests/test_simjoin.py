@@ -122,3 +122,24 @@ def test_similarity_join_max_bucket_guard(ray_session):
                            right_id="rid", right_text="name",
                            num_partitions=2).to_pandas()
     assert len(full) > len(guarded)
+
+
+def test_hot_bucket_prune_exact_pair_no_collision(ray_session):
+    """The hot-bucket prune must match the exact (band, band_hash) pair:
+    a bucket in a DIFFERENT band whose hash collides under the old
+    (band << 40) ^ hash fold must survive."""
+    import pyarrow as pa
+    import ray.data as rd
+    from medcat_ray.ops.simjoin import _drop_hot_buckets
+    H = 123456789
+    collide = H ^ (1 << 40)      # (1, collide) folds to the same key as (0, H)
+    rows = [{"id": i, "band": 0, "band_hash": H} for i in range(5)]
+    rows.append({"id": 99, "band": 1, "band_hash": collide})
+    lb = rd.from_arrow(pa.Table.from_pylist(rows))
+    rb = rd.from_arrow(pa.Table.from_pylist(
+        [{"id": 7, "band": 2, "band_hash": 42}]))
+    pl, pr = _drop_hot_buckets(lb, rb, max_bucket=3)
+    left = pl.to_pandas()
+    # hot bucket (0, H) dropped; innocent (1, collide) kept
+    assert left["id"].tolist() == [99]
+    assert pr.count() == 1

@@ -231,3 +231,31 @@ def test_jaccard_dups_oracle_runs_and_scores_dup_pair():
     assert scores[(0, 1)] == pytest.approx(1.0)       # exact dup
     assert scores[(0, 2)] > 0.9                        # near dup
     assert all(j >= 0.5 for j in scores.values())
+
+
+def test_kmeans_sql_empty_cluster_backfills_previous_round(ray_session):
+    """A cluster that empties AFTER round 1 must be backfilled from the
+    PREVIOUS round's centroid (the engine keeps C_new = C.copy()), not
+    the initial c0 — seed 1447 is a searched fixture where the two
+    diverge at n_iter=4 (latent for the n_iter<=2 driver queries)."""
+    import ray.data as rd
+    from medcat_ray.ops.kmeans import kmeans_clusters
+    from medcat_ray.ops.sql_oracle import spherical_kmeans_assign_sql
+    rng = np.random.default_rng(1447)
+    n, d, k, it = 14, 3, 4, 4
+    vecs = rng.normal(size=(n, d))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(n)]).repartition(3)
+    got = kmeans_clusters(ds, k, n_iter=it).to_pandas() \
+        .sort_values("vec_id")["cluster"].to_numpy()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (id BIGINT, v DOUBLE[])")
+    for i in range(n):
+        con.execute("INSERT INTO emb VALUES (?, ?)",
+                    [i, vecs[i].tolist()])
+    sql = "WITH " + spherical_kmeans_assign_sql(
+        "SELECT id, v FROM emb", k=k, dim=d, n_iter=it) + \
+        "\nSELECT id, cluster FROM afin ORDER BY id"
+    oracle = np.array([r[1] for r in con.execute(sql).fetchall()])
+    assert (got == oracle).all()

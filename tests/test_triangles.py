@@ -25,3 +25,67 @@ def test_reversed_duplicate_edges_count_once(ray_session):
 def test_no_triangles(ray_session):
     ds = rd.from_items([{"src": 1, "dst": 2}, {"src": 2, "dst": 3}])
     assert triangle_counts(ds).count() == 0
+
+
+def _brute(edges):
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        es.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    counts = {}
+    for (a, b) in es:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_random_graph_matches_bruteforce(ray_session):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2))]
+    ds = rd.from_items([{"src": a, "dst": b}
+                        for a, b in edges]).repartition(4)
+    out = triangle_counts(ds).to_pandas()
+    assert dict(zip(out["node"], out["triangles"])) == _brute(edges)
+
+
+def test_max_degree_noop_on_bounded_graph(ray_session):
+    # every vertex in K4 has degree 3: max_degree=3 must equal uncapped
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    capped = triangle_counts(ds, max_degree=3).to_pandas()
+    uncapped = triangle_counts(ds).to_pandas()
+    assert dict(zip(capped["node"], capped["triangles"])) == \
+        dict(zip(uncapped["node"], uncapped["triangles"]))
+
+
+def test_max_degree_drops_hub(ray_session):
+    # hub 0 touches every vertex of a K4 + 20 spokes; max_degree below
+    # the hub's degree counts the K4-only subgraph exactly
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(0, v) for v in range(1, 25)]
+    ds = rd.from_items([{"src": a, "dst": b}
+                        for a, b in edges]).repartition(3)
+    capped = triangle_counts(ds, max_degree=8).to_pandas()
+    assert dict(zip(capped["node"], capped["triangles"])) == \
+        {1: 3, 2: 3, 3: 3, 4: 3}
+    # uncapped: hub corners count too (each K4 edge closes with the hub)
+    full = triangle_counts(ds).to_pandas()
+    got = dict(zip(full["node"], full["triangles"]))
+    assert got[0] == 6 and got[1] == 3 + 3
+
+
+def test_star_hub_zero_wedges(ray_session):
+    # a pure star has no triangles; the degree orientation points every
+    # spoke AT the hub, so the oriented self-join emits zero wedges
+    # (the Σdeg² blowup the naive plan would hit)
+    edges = [(0, v) for v in range(1, 200)]
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    assert triangle_counts(ds).count() == 0
