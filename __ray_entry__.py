@@ -22,9 +22,13 @@ hitters, log-bucket histogram quantiles), a write-time partitioned
 inverted index, multimodal decode and image perceptual-hash near-dup —
 all oracle-checked, including the HTML pages flagship (byte-identity
 text column).  The only rows-only queries are ``multimodal_image_stub``
-and ``cdb_stats`` (constant outputs with no table-derivable oracle) and
-``kg_meta_bilstm`` / ``kg_rel_bert`` (numpy NN forwards — not
-SQL-expressible).
+(constant stub output) and ``unigram_vocab`` (the hard-EM E-step
+consumes Viterbi argmax paths SQL can't extract).  Round 5 closed the
+other three: ``kg_meta_bilstm`` / ``kg_rel_bert`` run PLANTED saturated
+weights whose full NN forwards provably equal SQL-derivable rules with
+confidence exactly 1.0 (stages/bilstm.rule_negation_weights,
+stages/bert.rule_rel_weights), and ``cdb_stats`` now trains the frozen
+CDB on the corpus so its stats derive from the documents table.
 """
 
 from __future__ import annotations
@@ -2045,6 +2049,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["subj_cui", "obj_cui"]) \
             .reset_index(drop=True)
 
+    def kg_pagerank_distributed(sf_dir):
+        """The auto-gate's distributed leg, driver-checked: join-based
+        power iteration (ops/pagerank.pagerank_distributed — two hash
+        joins + one groupby-Sum per round, node state never on the
+        driver) must reproduce kg_pagerank's fixed-point integers
+        bit-for-bit; shares its HUGEINT oracle."""
+        from medcat_ray.ops.pagerank import pagerank_distributed
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(sf_dir), window=300,
+                                 key_column="doc_id", mode="tree")
+        out = pagerank_distributed(edges, n_iter=3, src_col="subj_cui",
+                                   dst_col="obj_cui",
+                                   weight_col="count").to_pandas()
+        out = out.rename(columns={"node": "cui"})
+        out["pr"] = out["pr"].astype("int64")
+        return out.sort_values("cui").reset_index(drop=True)
+
+    def model_creator_entities(sf_dir):
+        """End-to-end YAML model-creator flow (reference
+        medcat/utils/model_creator.py create_models, §2 S2+S8+T5): a
+        concept CSV derived from the frozen concept map + the documents
+        table as the training corpus → CDB + vocab + trained context
+        vectors + saved pack → reload the pack and annotate the same
+        corpus.  The built CDB equals the frozen docs CDB on names, so
+        the entities match the kg_entities oracle exactly."""
+        import ray.data as rd
+        import pyarrow as pa
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import DOC_CONCEPTS, DOC_TYPES
+        from medcat_ray.state.model_pack import load_model_pack
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        base = os.path.join(tempfile.gettempdir(),
+                            f"medcat_ray_mc_{_source_tag(docs_path)}")
+
+        def build(d):
+            from medcat_ray.pipelines.model_creator import create_models
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "concepts.csv"), "w") as fh:
+                fh.write("cui,name,name_status,type_ids\n")
+                for name, cui in sorted(DOC_CONCEPTS.items()):
+                    fh.write(f"{cui},{name},P,{DOC_TYPES[name]}\n")
+            yml = os.path.join(d, "creator.yml")
+            with open(yml, "w") as fh:
+                fh.write(f"output_dir: {d}/out\n"
+                         f"concept_csv_file: {d}/concepts.csv\n"
+                         f"unsupervised_training_data_file: {docs_path}\n"
+                         "engine_config:\n  spell_check: false\n"
+                         "vocab:\n  dim: 16\n  min_count: 1\n")
+            create_models(yml)
+            with open(os.path.join(d, "_DONE"), "w") as fh:
+                fh.write("ok")
+
+        _cached_build(base, build, "_DONE")
+        cdb, vocab, config, _ = load_model_pack(
+            os.path.join(base, "out", "model_pack"))
+        docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        ann = kg.annotate(docs, (cdb, vocab), config, concurrency=2,
+                          key_column="doc_id")
+        ents = kg.entities(ann, key_column="doc_id")
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "start_pos": batch["start"],
+                "end_pos": batch["end"],
+                "cui": batch["cui"],
+                "source_value": batch["source_value"],
+            })
+        return ents.map_batches(project, batch_format="pyarrow")
+
     def cdb_stats_query(sf_dir):
         """A3 CDB stats, SQL-checked: train the frozen CDB on the corpus
         (distributed T5 path) so the trained-count stats derive from the
@@ -2216,7 +2291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": docs_kg.kg_entities,
         "kg_triple_counts": docs_kg.kg_triple_counts,
         "kg_entities_lemma": docs_kg.kg_entities_lemma,
-        "unigram_vocab": unigram_vocab,
+        "kg_pagerank_distributed": kg_pagerank_distributed,
+        "model_creator_entities": model_creator_entities,
         "user_event_deltas": user_event_deltas,
         "user_running_spend": user_running_spend,
         "user_event_rank": user_event_rank,
@@ -2941,6 +3017,8 @@ FROM counts
     from medcat_ray.pipelines.docs_kg import kfold_stats_oracle_sql
     return {
         "kg_entities": entities_oracle_sql(),
+        # the YAML-built pack must reproduce the frozen-CDB entity set
+        "model_creator_entities": entities_oracle_sql(),
         "kg_entities_hard": hard_entities_oracle_sql(),
         "kg_entities_spell": spell_entities_oracle_sql(),
         "kg_entities_lemma": lemma_entities_oracle_sql(),
@@ -3479,6 +3557,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
         "kmeans_doc_clusters": _kmeans_oracle(),
         "semantic_dedup_pairs": _semantic_dedup_oracle(),
         "kg_pagerank": _pagerank_oracle(),
+        "kg_pagerank_distributed": _pagerank_oracle(),
         "dsir_doc_weights": _dsir_oracle(),
         "image_phash_pairs": _image_phash_oracle(),
         "audio_fp_pairs": _audio_fp_oracle(),

@@ -414,18 +414,36 @@ LEMMA_CONCEPTS: Dict[str, str] = {
     "matrix": "C0000602",      # -ices plural
     "vertebra": "C0000603",    # -ae plural
     "fall": "C0000604",        # -ing suffix rule (floss double kept)
-    "take": "C0000605",        # irregular past participle
+    "take": "C0000605",        # irregular participle AND past (taken/took)
     "high": "C0000606",        # superlative
+    "child": "C0000607",       # irregular plural (r5: VERDICT item 4)
+    "goose": "C0000608",       # irregular plural
+    "criterion": "C0000609",   # Greek -a plural
+    "think": "C0000610",       # irregular past (thought)
+    "easy": "C0000611",        # irregular comparative (easier)
+    "bacterium": "C0000612",   # Latin -a plural
 }
+# NOTE on picks: every planted FORM is >= min_len_normalize (5) chars —
+# the reference only lemmatizes tokens that long (normalizers.py:181,
+# config min_len_normalize) — and every BASE name is >= the
+# upper_case_limit_len (4), since shorter lowercase names are rejected
+# by maybe_annotate_name.  'mice'/'took' (4 chars, never normalized)
+# and 'worse'->'bad' (3-char name) are deliberately absent.
 # planted surface form -> base name it must lemmatize to
 _LEMMA_PLANT: Tuple[Tuple[str, str], ...] = (
     ("diagnoses", "diagnosis"), ("matrices", "matrix"),
     ("vertebrae", "vertebra"), ("falling", "fall"),
     ("taken", "take"), ("highest", "high"),
+    ("children", "child"), ("geese", "goose"),
+    ("criteria", "criterion"), ("thought", "think"),
+    ("easier", "easy"), ("bacteria", "bacterium"),
 )
 # forms whose morph_tag is in the default do_not_normalize gate — under
 # LEMMA_GATED_CONFIG these keep their surface form and do not link
-_LEMMA_GATED_FORMS = frozenset({"falling", "taken", "highest"})
+# (VBG falling, VBD/VBN taken+thought, JJS highest, JJR easier);
+# irregular NOUN plurals are never gated and link under both configs
+_LEMMA_GATED_FORMS = frozenset({"falling", "taken", "highest", "thought",
+                                "easier"})
 
 
 def docs_cdb_lemma(config: EngineConfig) -> Tuple[CDB, Vocab]:
@@ -437,14 +455,15 @@ def docs_cdb_lemma(config: EngineConfig) -> Tuple[CDB, Vocab]:
 
 
 def _plant_lemma_tokens(batch: pa.Table) -> pa.Table:
-    """Docs with ≥ 7 tokens get tokens 1-6 replaced by the six planted
-    inflected forms (mirrored verbatim in the oracle SQL)."""
+    """Docs with ≥ 13 tokens get tokens 1-12 replaced by the twelve
+    planted inflected forms (mirrored verbatim in the oracle SQL);
+    shorter docs stay unplanted on BOTH sides."""
     planted = [w for w, _ in _LEMMA_PLANT]
     out = []
     for t in batch["text"].to_pylist():
         toks = t.split(" ")
-        if len(toks) >= 7:
-            toks[0:6] = planted
+        if len(toks) >= 13:
+            toks[0:12] = planted
         out.append(" ".join(toks))
     return pa.table({"doc_id": batch["doc_id"],
                      "text": pa.array(out, type=pa.string())})
@@ -493,8 +512,8 @@ def _lemma_oracle_sql(gated: bool) -> str:
 WITH orig AS (
   SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents
 ), tr AS (
-  SELECT doc_id, CASE WHEN len(toks0) >= 7
-      THEN list_concat([{plant_list}], toks0[7:])
+  SELECT doc_id, CASE WHEN len(toks0) >= 13
+      THEN list_concat([{plant_list}], toks0[13:])
       ELSE toks0 END AS toks
   FROM orig
 ), tokd AS (
