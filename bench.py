@@ -326,6 +326,17 @@ def run_bench() -> dict:
                        dst_col="obj_cui", weight_col="count")
     timed("kg_pagerank", _pagerank)
 
+    def _pagerank_dist():
+        from medcat_ray.ops.pagerank import pagerank_distributed
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(SF_DIR), window=300,
+                                 key_column="doc_id", mode="tree")
+        pagerank_distributed(edges, n_iter=3, src_col="subj_cui",
+                             dst_col="obj_cui",
+                             weight_col="count").materialize()
+    timed("kg_pagerank_distributed", _pagerank_dist)
+
     def _dsir():
         import pyarrow.compute as pc
         from medcat_ray.ops.dsir import dsir_weights

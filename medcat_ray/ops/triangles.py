@@ -51,7 +51,8 @@ def _rank_lt(da, na, db, nb):
 def triangle_counts(edges: rd.Dataset, src_col: str = "src",
                     dst_col: str = "dst",
                     num_partitions: int = 4,
-                    max_degree: Optional[int] = None) -> rd.Dataset:
+                    max_degree: Optional[int] = None,
+                    broadcast_limit: int = 5_000_000) -> rd.Dataset:
     """(node, triangles) for every vertex in ≥1 triangle.
 
     ``max_degree``: if set, vertices with degree > ``max_degree`` are
@@ -97,23 +98,54 @@ def triangle_counts(edges: rd.Dataset, src_col: str = "src",
         if deg.count() == 0:
             return rd.from_items([])
 
-    # attach degrees to both endpoints (two hash joins, node-keyed);
-    # with max_degree the inner joins drop hub-incident edges for free
-    def _deg_as(node: str, out: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({node: batch["node"], out: batch["deg"]})
-        return f
+    # attach degrees to both endpoints — auto-gated like the dedup
+    # family: a node-sized degree table (≤ broadcast_limit, the CDB-scale
+    # case) is ray.put once and probed per batch (searchsorted, no
+    # shuffle); an open-world node set falls back to two hash joins,
+    # which with max_degree also drop hub-incident edges for free
+    if deg.count() <= broadcast_limit:
+        import ray
+        ddf = deg.to_pandas()
+        order = np.argsort(ddf["node"].to_numpy())
+        deg_ref = ray.put((ddf["node"].to_numpy()[order],
+                           ddf["deg"].to_numpy()[order]))
 
-    with_da = canon.join(
-        deg.map_batches(_deg_as("na", "da"), batch_format="pyarrow")
-           .repartition(num_partitions).materialize(),
-        join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=("na",)).materialize()
-    with_deg = with_da.join(
-        deg.map_batches(_deg_as("nb", "db"), batch_format="pyarrow")
-           .repartition(num_partitions).materialize(),
-        join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=("nb",)).materialize()
+        def attach(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            nodes_s, degs_s = _ray.get(deg_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(nodes_s, a)
+            ib = np.searchsorted(nodes_s, b)
+            if max_degree is not None:
+                # dropped hubs are absent from the table: prune their edges
+                ia = np.minimum(ia, len(nodes_s) - 1)
+                ib = np.minimum(ib, len(nodes_s) - 1)
+                keep = (nodes_s[ia] == a) & (nodes_s[ib] == b)
+                batch = batch.filter(pa.array(keep))
+                a, b, ia, ib = a[keep], b[keep], ia[keep], ib[keep]
+            return pa.table({"a": batch["a"], "b": batch["b"],
+                             "da": pa.array(degs_s[ia], type=pa.int64()),
+                             "db": pa.array(degs_s[ib], type=pa.int64())})
+
+        with_deg = canon.map_batches(attach, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+    else:
+        def _deg_as(node: str, out: str):
+            def f(batch: pa.Table) -> pa.Table:
+                return pa.table({node: batch["node"], out: batch["deg"]})
+            return f
+
+        with_da = canon.join(
+            deg.map_batches(_deg_as("na", "da"), batch_format="pyarrow")
+               .repartition(num_partitions).materialize(),
+            join_type="inner", num_partitions=num_partitions,
+            on=("a",), right_on=("na",)).materialize()
+        with_deg = with_da.join(
+            deg.map_batches(_deg_as("nb", "db"), batch_format="pyarrow")
+               .repartition(num_partitions).materialize(),
+            join_type="inner", num_partitions=num_partitions,
+            on=("b",), right_on=("nb",)).materialize()
 
     # orient: tail = lower (degree, id) endpoint, head = higher —
     # out-degree is then ≤ O(√m) for every vertex

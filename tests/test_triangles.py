@@ -89,3 +89,28 @@ def test_star_hub_zero_wedges(ray_session):
     edges = [(0, v) for v in range(1, 200)]
     ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
     assert triangle_counts(ds).count() == 0
+
+
+def test_join_fallback_equals_broadcast(ray_session):
+    # broadcast_limit=0 forces the open-world two-join degree attach;
+    # both paths must agree with brute force
+    import numpy as np
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (150, 2))]
+    ds = rd.from_items([{"src": a, "dst": b}
+                        for a, b in edges]).repartition(3)
+    via_join = triangle_counts(ds, broadcast_limit=0).to_pandas()
+    assert dict(zip(via_join["node"], via_join["triangles"])) == \
+        _brute(edges)
+    capped = triangle_counts(ds, max_degree=10,
+                             broadcast_limit=0).to_pandas()
+    deg = {}
+    for a, b in set((min(a, b), max(a, b)) for a, b in edges if a != b):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    keep = {n for n, d in deg.items() if d <= 10}
+    sub = [(a, b) for a, b in edges if a in keep and b in keep]
+    assert dict(zip(capped["node"], capped["triangles"])) == _brute(sub)
+    capped_b = triangle_counts(ds, max_degree=10).to_pandas()
+    assert dict(zip(capped_b["node"], capped_b["triangles"])) == \
+        _brute(sub)
