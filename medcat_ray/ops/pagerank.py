@@ -36,9 +36,10 @@ Like ``bfs_levels``, resolution is auto-gated on measured node count
 (:func:`pagerank`): a concept-graph-sized node set (≤ ``driver_limit``)
 runs :func:`pagerank_exact` — broadcast state, combiner partials, the
 fastest shape when the state fits one worker heap; an open-world node
-set runs :func:`pagerank_distributed` — each round is two hash joins
-(state onto edge sources, inflow back onto the node table) + one native
-groupby-Sum, nothing node-sized ever leaves the object store.  Both
+set runs :func:`pagerank_distributed` — each round is ONE hash join
+(state onto edge sources) + ONE native groupby-Sum (inflow partials
+unioned with zero-inflow carrier rows, so od and the base term ride the
+same groupby), nothing node-sized ever leaves the object store.  Both
 paths compute the IDENTICAL fixed-point integers (unit-tested equal).
 
 Edge weights must be ≥ 1 (fail-loud per batch): a source whose
@@ -177,8 +178,8 @@ def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
                          num_partitions: int = 16) -> rd.Dataset:
     """Join-based exact integer PageRank for open-world node sets —
     identical fixed-point arithmetic to :func:`pagerank_exact`, but the
-    node-sized state (node, od, pr) stays a Dataset: each round is two
-    hash joins + one native groupby-Sum, nothing node-sized on the
+    node-sized state (node, od, pr) stays a Dataset: each round is ONE
+    hash join + ONE native groupby-Sum, nothing node-sized on the
     driver.  Returns a (node, pr) Dataset."""
     from ray.data.aggregate import Sum
 
@@ -206,7 +207,7 @@ def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
 
     deg = edges.map_batches(_tag, batch_format="pyarrow") \
         .groupby("node").aggregate(Sum("w_out", alias_name="od")) \
-        .repartition(num_partitions).materialize()
+        .materialize()
     n = deg.count()
     if n == 0:
         return rd.from_arrow(pa.table(
@@ -217,6 +218,13 @@ def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
             f"n_nodes·scale too large for exact int64 path "
             f"({n}·{scale}); lower `scale`")
     base = ((d_den - d_num) * scale) // d_den
+    # size the per-round exchange to the MEASURED node count: each join
+    # spins num_partitions aggregator ACTORS per round, so a small graph
+    # with the full partition count pays pure actor-startup wall time
+    # (measured 10s vs 3.9s at 12 nodes for 16 vs 4 partitions);
+    # ~100k node-rows per partition keeps big graphs at the caller's cap
+    num_partitions = max(2, min(num_partitions, n // 100_000 + 2))
+    deg = deg.repartition(num_partitions).materialize()
 
     def _init(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -224,6 +232,17 @@ def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
                                    dtype=np.int64)))
 
     state = deg.map_batches(_init, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    # (node, od, c=0) carrier rows: unioned into every round's groupby so
+    # ONE native groupby both sums the inflow and re-attaches od + the
+    # base term for no-inbound nodes — no per-round second join
+    def _zero_c(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"], "od": batch["od"],
+            "c": pa.array(np.zeros(batch.num_rows, dtype=np.int64))})
+
+    carrier = deg.map_batches(_zero_c, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
 
     for _ in range(n_iter):
@@ -246,33 +265,28 @@ def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
                               for a, b in zip(w, per_src)], dtype=object)
             else:
                 c = w * per_src
-            # per-batch combiner: pre-sum by destination
+            # per-batch combiner: pre-sum by destination (od=0 — the
+            # carrier rows hold the real od through the groupby-Sum)
             df = pd.DataFrame(
                 {"node": batch[dst_col].to_pandas(),
                  "c": c.astype(np.int64)})
             g = df.groupby("node", sort=False, as_index=False)["c"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            g["od"] = np.int64(0)
+            return pa.Table.from_pandas(g[["node", "od", "c"]],
+                                        preserve_index=False)
 
-        inflow = contrib_in.map_batches(_contrib, batch_format="pyarrow") \
-            .groupby("node").aggregate(Sum("c", alias_name="c")) \
-            .repartition(num_partitions).materialize()
-
-        # fold inflow back onto the full node table (left outer: nodes
-        # with no inbound edges hold the base term)
-        state = deg.join(inflow, join_type="left_outer",
-                         num_partitions=num_partitions,
-                         on=("node",)).materialize()
-
-        def _update(batch: pa.Table) -> pa.Table:
+        def _finish(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            c = pc.coalesce(batch["c"],
-                            pa.scalar(0, type=batch["c"].type))
             return pa.table({
                 "node": batch["node"], "od": batch["od"],
                 "pr": pc.add(pa.scalar(base, type=pa.int64()),
-                             c.cast(pa.int64()))})
+                             batch["c"].combine_chunks().cast(pa.int64()))})
 
-        state = state.map_batches(_update, batch_format="pyarrow") \
+        state = contrib_in.map_batches(_contrib, batch_format="pyarrow") \
+            .union(carrier) \
+            .groupby("node").aggregate(Sum("od", alias_name="od"),
+                                       Sum("c", alias_name="c")) \
+            .map_batches(_finish, batch_format="pyarrow") \
             .repartition(num_partitions).materialize()
 
     return state.select_columns(["node", "pr"])
