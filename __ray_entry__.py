@@ -2401,6 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": doc_mixture_sample,
         "url_dedup_docs": url_dedup_docs,
         "doc_top_keywords": doc_top_keywords,
+        "unigram_vocab": unigram_vocab,
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_candidates_docs": simhash_candidates_docs,
         "jaccard_verified_dups": jaccard_verified_dups,
