@@ -287,3 +287,29 @@ def test_predict_many_equals_sequential():
     np.testing.assert_allclose([m[1] for m in many],
                                [o[1] for o in one], atol=1e-12)
     assert sc.predict_many([]) == []
+
+
+def test_rule_rel_weights_exact_rule():
+    """Planted saturated BERT weights (the kg_rel_bert oracle trick):
+    the full encoder + pair head computes 'class 0 iff the e1 token is
+    a trigger' with confidence EXACTLY 1.0 — sign-coded embeddings must
+    survive the embedding LN and both residual LNs."""
+    from medcat_ray.stages.bert import (BertRelScorer,
+                                        NumpyBertRelClassifier,
+                                        rule_rel_weights)
+    t2i = {"spark": 2, "join": 3, "table": 4, "vector": 5}
+    m = NumpyBertRelClassifier(rule_rel_weights(8, [2, 3]),
+                               num_layers=1, num_heads=2)
+    sc = BertRelScorer(m, t2i, {0: "operates_on", 1: "none"},
+                       max_len=120)
+    text = "spark join table vector"
+    cases = [((0, 5), (11, 16), "operates_on"),   # spark -> table
+             ((11, 16), (17, 23), "none"),        # table -> vector
+             ((6, 10), (17, 23), "operates_on")]  # join -> vector
+    for subj, obj, want in cases:
+        label, conf = sc.predict(text, subj, obj)
+        assert label == want
+        assert conf == 1.0
+    # batched path identical
+    batched = sc.predict_many([(text, s, o) for s, o, _ in cases])
+    assert [b[0] for b in batched] == [w for _, _, w in cases]

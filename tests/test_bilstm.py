@@ -244,3 +244,28 @@ def test_score_many_equals_sequential():
     np.testing.assert_allclose([m[1] for m in many],
                                [o[1] for o in one], atol=1e-12)
     assert sc.score_many([]) == []
+
+
+def test_rule_negation_weights_exact_rule():
+    """Planted saturated weights (the kg_meta_bilstm oracle trick):
+    prediction == 'trigger at/before the center within the window',
+    confidence EXACTLY 1.0 (not approximately) for every case."""
+    from medcat_ray.stages.bilstm import (BiLSTMMetaScorer, NumpyBiLSTM,
+                                          rule_negation_weights)
+    t2i = {"slow": 2, "dup": 3, "fast": 4, "join": 5}
+    m = NumpyBiLSTM(rule_negation_weights(8, [2, 3]), padding_idx=0,
+                    num_layers=1)
+    sc = BiLSTMMetaScorer("Negation", m, t2i,
+                          {0: "Affirmed", 1: "Negated"})
+    cases = [
+        ((["fast", "slow"], ["fast"], ["join"]), "Negated"),
+        ((["fast"], ["slow"], ["join"]), "Affirmed"),   # right ignored
+        (([], [], ["join"]), "Affirmed"),
+        ((["dup"] + ["x"] * 14, [], ["join"]), "Negated"),  # window edge
+        ((["dup"] + ["x"] * 15, [], ["join"]), "Affirmed"),  # clipped out
+        ((["unknownword"], [], ["join"]), "Affirmed"),  # unk != trigger
+    ]
+    for (left, right, center), want in cases:
+        val, conf = sc.score(left, right, center)
+        assert val == want, (left, right, center)
+        assert conf == 1.0  # exact float64 saturation, not approx
