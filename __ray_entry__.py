@@ -2049,6 +2049,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["subj_cui", "obj_cui"]) \
             .reset_index(drop=True)
 
+    def kg_train_merge(sf_dir):
+        """J4 import_training + A2 driver-checked: the corpus splits by
+        doc_id parity, each half trains its OWN CDB (distributed T5
+        partial-mean path), and ``CDB.import_training`` merges the
+        second into the first (vectors average, counts ADD — reference
+        cdb.py:585-611).  Every mention lands in exactly one half, so
+        the merged per-CUI counts equal the full-corpus counts — the
+        kg_train_counts oracle."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from medcat_ray.pipelines.docs_kg import (DOC_CONCEPTS,
+                                                  DOCS_CONFIG, docs_cdb)
+        from medcat_ray.pipelines.train import \
+            train_unsupervised_distributed
+        from medcat_ray.state.vocab import Vocab
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"]).materialize()
+
+        def half(parity):
+            def f(batch):
+                return batch.filter(pc.equal(
+                    pc.bit_wise_and(batch["doc_id"], 1), parity))
+            return docs.map_batches(f, batch_format="pyarrow")
+
+        vv = Vocab()
+        rng = np.random.default_rng(0)
+        for w in sorted(DOC_CONCEPTS):
+            vv.add_word(w, cnt=10, vec=rng.normal(size=4))
+        halves = []
+        for parity in (0, 1):
+            cdb, _ = docs_cdb()
+            result = train_unsupervised_distributed(
+                half(parity), (cdb, vv), DOCS_CONFIG, concurrency=2)
+            for cui, entry_ in result.items():
+                cdb.set_context_vectors(cui, entry_["vectors"])
+                cdb.cui2count_train[cui] = entry_["count"]
+            halves.append(cdb)
+        merged, other = halves
+        merged.import_training(other, overwrite=False)
+        out = pd.DataFrame(
+            {"cui": sorted(merged.cui2count_train),
+             "n_train": [merged.cui2count_train[c]
+                         for c in sorted(merged.cui2count_train)]})
+        out["n_train"] = out["n_train"].astype("int64")
+        return out
+
     def kg_pagerank_distributed(sf_dir):
         """The auto-gate's distributed leg, driver-checked: join-based
         power iteration (ops/pagerank.pagerank_distributed — two hash
@@ -2337,7 +2385,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_bert": docs_kg.kg_rel_bert,
         "cdb_stats": cdb_stats_query,
         "events_asof_orders": events_asof_orders,
-        # --- previously driver-verified (green in r1-r4) ---
+        "kg_entities_filtered": docs_kg.kg_entities_filtered,
+        # --- past the 50-query driver window: kg_train_merge is new in
+        # r5 (self-swept green at sf0.01, see ROADMAP round-5 log) ---
+        "kg_train_merge": kg_train_merge,
         "kg_entities_hard": docs_kg.kg_entities_hard,
         "kg_entities_spell": docs_kg.kg_entities_spell,
         "kg_entities_lemma_gated": docs_kg.kg_entities_lemma_gated,
@@ -3005,6 +3056,7 @@ FROM counts
 
     from medcat_ray.pipelines.docs_kg import (cdb_stats_oracle_sql,
                                               deid_oracle_sql,
+                                              filtered_entities_oracle_sql,
                                               meta_bilstm_oracle_sql,
                                               meta_oracle_sql,
                                               rel_bert_oracle_sql,
@@ -3038,6 +3090,9 @@ FROM counts
         "kg_meta_bilstm": meta_bilstm_oracle_sql(),
         "kg_rel_bert": rel_bert_oracle_sql(window=60),
         "cdb_stats": cdb_stats_oracle_sql(),
+        "kg_entities_filtered": filtered_entities_oracle_sql(),
+        # disjoint-half trainings merge to full-corpus counts
+        "kg_train_merge": train_counts_oracle_sql(),
         "kg_deid": deid_oracle_sql(),
         "kg_train_counts": train_counts_oracle_sql(),
         "pages_kg_flagship": pages_flagship_oracle_sql(),

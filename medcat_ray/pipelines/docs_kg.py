@@ -719,6 +719,53 @@ FROM ents e
 """)
 
 
+# J3 filter_by_cui keep-set (closure subset of the frozen CDB) and D1
+# linking allow/exclude lists — the three gates compose: a mention links
+# iff its CUI survives filter_by_cui AND is allowed AND not excluded.
+FILTER_KEEP_CUIS = frozenset({"C0000001", "C0000003", "C0000006",
+                              "C0000009", "C0000011", "C0000012"})
+FILTER_ALLOW_CUIS = frozenset({"C0000001", "C0000009", "C0000011",
+                               "C0000012"})
+FILTER_EXCLUDE_CUIS = frozenset({"C0000011"})
+
+
+def kg_entities_filtered(sf_dir: str) -> rd.Dataset:
+    """kg_entities through BOTH filter surfaces: the CDB subset
+    (J3 ``filter_by_cui`` — name/CUI closure, reference cdb.py:660-738)
+    and the D1 linking filters (``cuis_allow`` ∩ not ``cuis_exclude``,
+    reference utils/filters.py:7-80) — SQL-checked as the intersection
+    of the three CUI sets."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cdb, vocab = docs_cdb()
+    cdb.filter_by_cui(FILTER_KEEP_CUIS)
+    cfg = DOCS_CONFIG.with_overrides(cuis_allow=FILTER_ALLOW_CUIS,
+                                     cuis_exclude=FILTER_EXCLUDE_CUIS)
+    ann = kg.annotate(docs, (cdb, vocab), cfg,
+                      concurrency=2, batch_size=128, key_column="doc_id")
+    ents = kg.entities(ann, key_column="doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "start_pos": batch["start"],
+            "end_pos": batch["end"],
+            "cui": batch["cui"],
+            "source_value": batch["source_value"],
+        })
+    return ents.map_batches(project, batch_format="pyarrow")
+
+
+def filtered_entities_oracle_sql() -> str:
+    eff = sorted((FILTER_KEEP_CUIS & FILTER_ALLOW_CUIS)
+                 - FILTER_EXCLUDE_CUIS)
+    cuis = ", ".join(f"'{c}'" for c in eff)
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+SELECT doc_id, start_pos, end_pos, cui, source_value
+FROM ents WHERE cui IN ({cuis})
+""")
+
+
 def meta_bilstm_oracle_sql() -> str:
     """Twin of kg_meta_bilstm: the planted saturated BiLSTM computes the
     MetaRule left-window trigger rule with confidence exactly 1.0 (see
