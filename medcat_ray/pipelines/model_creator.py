@@ -119,3 +119,27 @@ def create_models(config_file: str
     pack_path = os.path.join(out_dir, "model_pack")
     save_model_pack(pack_path, cdb, vocab, config)
     return cdb, vocab, config, pack_path
+
+
+def main(argv=None) -> int:
+    """CLI twin of the reference's ``python -m medcat.utils.model_creator
+    <config.yml>`` (model_creator.py:143-156)."""
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Create a model pack from a YAML creator config "
+                    "(concept CSV + training corpus).")
+    parser.add_argument("config_file", help="creator YAML path")
+    args = parser.parse_args(argv)
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        _, _, _, pack_path = create_models(args.config_file)
+        print(pack_path)
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
