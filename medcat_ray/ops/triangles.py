@@ -48,18 +48,63 @@ def _rank_lt(da, na, db, nb):
                   pc.and_(pc.equal(da, db), pc.less(na, nb)))
 
 
+def _triangles_driver(a: np.ndarray, b: np.ndarray,
+                      max_degree: Optional[int]) -> "pd.DataFrame":
+    """Vectorized-ish driver twin (the ``bfs_levels`` gate shape): same
+    degree orientation, adjacency as per-tail sorted head arrays,
+    wedge-closure via np.isin against each tail's out-neighbors."""
+    import pandas as pd
+    deg: dict = {}
+    for u, v in zip(a, b):
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    if max_degree is not None:
+        keep = {u for u, d in deg.items() if d <= max_degree}
+        mask = np.array([u in keep and v in keep for u, v in zip(a, b)])
+        a, b = a[mask], b[mask]
+    rank = lambda u: (deg[u], u)                    # noqa: E731
+    out: dict = {}
+    for u, v in zip(a, b):
+        t, h = (u, v) if rank(u) < rank(v) else (v, u)
+        out.setdefault(t, []).append(h)
+    adj = {t: np.array(sorted(hs, key=rank), dtype=object)
+           for t, hs in out.items()}
+    counts: dict = {}
+    for t, hs in adj.items():
+        for i, v in enumerate(hs[:-1]):             # rank(v) < rank(w)
+            ws = hs[i + 1:]
+            vout = adj.get(v)
+            if vout is None:
+                continue
+            closed = ws[np.isin(ws, vout)]
+            for w in closed:
+                for n in (t, v, w):
+                    counts[n] = counts.get(n, 0) + 1
+    nodes = sorted(counts)
+    return pd.DataFrame({"node": nodes,
+                         "triangles": [counts[n] for n in nodes]})
+
+
 def triangle_counts(edges: rd.Dataset, src_col: str = "src",
                     dst_col: str = "dst",
                     num_partitions: int = 4,
                     max_degree: Optional[int] = None,
-                    broadcast_limit: int = 5_000_000) -> rd.Dataset:
+                    broadcast_limit: int = 5_000_000,
+                    method: str = "auto",
+                    driver_limit: int = 1_000_000) -> rd.Dataset:
     """(node, triangles) for every vertex in ≥1 triangle.
 
     ``max_degree``: if set, vertices with degree > ``max_degree`` are
     dropped before counting (one groupby-count pass) — the result is the
     exact triangle count of the degree-bounded subgraph.  Leave None for
     the exact full-graph count (the degree orientation already bounds
-    the wedge volume at O(m^1.5))."""
+    the wedge volume at O(m^1.5)).
+
+    Like ``bfs_levels``, resolution auto-gates on MEASURED volume: a
+    ≤ ``driver_limit``-edge canonical table runs the same oriented
+    algorithm on the driver (the 4-join distributed plan costs ~10
+    barrier ops of pure fixed overhead on a small graph), anything
+    larger runs the distributed joins.  Both paths unit-tested equal."""
     def canonical(batch: pa.Table) -> pa.Table:
         a = batch[src_col].combine_chunks()
         b = batch[dst_col].combine_chunks()
@@ -76,6 +121,17 @@ def triangle_counts(edges: rd.Dataset, src_col: str = "src",
         .repartition(num_partitions).materialize()
     if canon.count() == 0:
         return rd.from_items([])
+
+    if method == "auto":
+        method = "driver" if canon.count() <= driver_limit \
+            else "distributed"
+    if method == "driver":
+        cdf = canon.to_pandas()
+        out = _triangles_driver(cdf["a"].to_numpy(), cdf["b"].to_numpy(),
+                                max_degree)
+        if len(out) == 0:
+            return rd.from_items([])
+        return rd.from_pandas(out)
 
     # per-vertex degree over the distinct canonical edges (one groupby)
     def _ends(batch: pa.Table) -> pa.Table:

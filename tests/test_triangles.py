@@ -46,14 +46,16 @@ def _brute(edges):
     return counts
 
 
-def test_random_graph_matches_bruteforce(ray_session):
+def test_random_graph_matches_bruteforce_both_paths(ray_session):
     import numpy as np
     rng = np.random.default_rng(3)
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2))]
     ds = rd.from_items([{"src": a, "dst": b}
                         for a, b in edges]).repartition(4)
-    out = triangle_counts(ds).to_pandas()
-    assert dict(zip(out["node"], out["triangles"])) == _brute(edges)
+    want = _brute(edges)
+    for method in ("auto", "distributed"):   # auto -> driver gate here
+        out = triangle_counts(ds, method=method).to_pandas()
+        assert dict(zip(out["node"], out["triangles"])) == want, method
 
 
 def test_max_degree_noop_on_bounded_graph(ray_session):
@@ -68,16 +70,22 @@ def test_max_degree_noop_on_bounded_graph(ray_session):
 
 def test_max_degree_drops_hub(ray_session):
     # hub 0 touches every vertex of a K4 + 20 spokes; max_degree below
-    # the hub's degree counts the K4-only subgraph exactly
+    # the hub's degree counts the K4-only subgraph exactly (distributed
+    # path forced; the driver twin is covered by the capped test below)
     edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
     edges += [(0, v) for v in range(1, 25)]
     ds = rd.from_items([{"src": a, "dst": b}
                         for a, b in edges]).repartition(3)
-    capped = triangle_counts(ds, max_degree=8).to_pandas()
+    capped = triangle_counts(ds, max_degree=8,
+                             method="distributed").to_pandas()
     assert dict(zip(capped["node"], capped["triangles"])) == \
         {1: 3, 2: 3, 3: 3, 4: 3}
+    # driver twin agrees on the capped subgraph
+    capped_d = triangle_counts(ds, max_degree=8, method="driver").to_pandas()
+    assert dict(zip(capped_d["node"], capped_d["triangles"])) == \
+        {1: 3, 2: 3, 3: 3, 4: 3}
     # uncapped: hub corners count too (each K4 edge closes with the hub)
-    full = triangle_counts(ds).to_pandas()
+    full = triangle_counts(ds, method="distributed").to_pandas()
     got = dict(zip(full["node"], full["triangles"]))
     assert got[0] == 6 and got[1] == 3 + 3
 
@@ -99,11 +107,12 @@ def test_join_fallback_equals_broadcast(ray_session):
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (150, 2))]
     ds = rd.from_items([{"src": a, "dst": b}
                         for a, b in edges]).repartition(3)
-    via_join = triangle_counts(ds, broadcast_limit=0).to_pandas()
+    via_join = triangle_counts(ds, broadcast_limit=0,
+                               method="distributed").to_pandas()
     assert dict(zip(via_join["node"], via_join["triangles"])) == \
         _brute(edges)
-    capped = triangle_counts(ds, max_degree=10,
-                             broadcast_limit=0).to_pandas()
+    capped = triangle_counts(ds, max_degree=10, broadcast_limit=0,
+                             method="distributed").to_pandas()
     deg = {}
     for a, b in set((min(a, b), max(a, b)) for a, b in edges if a != b):
         deg[a] = deg.get(a, 0) + 1
