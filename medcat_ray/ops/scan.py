@@ -46,14 +46,17 @@ def running_sum(ds: rd.Dataset, key_col: str, order_cols: Sequence[str],
 
     def pass1(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
+        # boundary totals (_tf/_tl) ride in int64 for integer inputs
+        # (and row numbers) — bit-exact at ANY magnitude; float64 only
+        # for genuinely float value columns
+        res_int = val_col is None or \
+            pd.api.types.is_integer_dtype(df[val_col])
+        tot_t = "int64" if res_int else "float64"
         if df.empty:
-            res_int = val_col is None or \
-                pd.api.types.is_integer_dtype(df[val_col])
-            out[out_col] = pd.Series(
-                [], dtype="int64" if res_int else "float64")
+            out[out_col] = pd.Series([], dtype=tot_t)
             for c, t in [("_bk", df[id_col].dtype), ("_needs", bool),
-                         ("_btag", "int64"), ("_tf", "float64"),
-                         ("_tl", "float64"), ("_lk", df[key_col].dtype)]:
+                         ("_btag", "int64"), ("_tf", tot_t),
+                         ("_tl", tot_t), ("_lk", df[key_col].dtype)]:
                 out[c] = pd.Series([], dtype=t)
             return out
         v = df[val_col].to_numpy() if val_col is not None \
@@ -65,13 +68,15 @@ def running_sum(ds: rd.Dataset, key_col: str, order_cols: Sequence[str],
         out["_bk"] = df[id_col].iloc[0]
         out["_needs"] = df[key_col].eq(first_key)
         out["_btag"] = -1
-        out["_tf"] = 0.0
-        out["_tl"] = 0.0
+        zero = 0 if res_int else 0.0
+        out["_tf"] = pd.Series(zero, index=df.index, dtype=tot_t)
+        out["_tl"] = pd.Series(zero, index=df.index, dtype=tot_t)
         out["_lk"] = last_key
+        cast = int if res_int else float
         out.iloc[0, out.columns.get_loc("_btag")] = 0
-        out.iloc[0, out.columns.get_loc("_tf")] = float(
+        out.iloc[0, out.columns.get_loc("_tf")] = cast(
             v[(df[key_col] == first_key).to_numpy()].sum())
-        out.iloc[0, out.columns.get_loc("_tl")] = float(
+        out.iloc[0, out.columns.get_loc("_tl")] = cast(
             v[(df[key_col] == last_key).to_numpy()].sum())
         return out
 
@@ -113,22 +118,24 @@ def running_sum(ds: rd.Dataset, key_col: str, order_cols: Sequence[str],
     def pass2(df: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
         off = _ray.get(off_ref)
+        res_int = val_col is None or \
+            pd.api.types.is_integer_dtype(df[val_col])
         if len(df) and off:
             present = set(df["_bk"].unique())
-            adj = np.zeros(len(df), dtype="float64")
+            # int64 adjustments for integer inputs — exact at any
+            # magnitude, not just below float64's 2^53 mantissa bound
+            adj = np.zeros(len(df),
+                           dtype="int64" if res_int else "float64")
+            zero = 0 if res_int else 0.0
             needs = df["_needs"].to_numpy()
             bks = df["_bk"].to_numpy()
             keys = df[key_col].to_numpy()
             for (bk, k), o in off.items():
                 if bk in present:
                     adj += np.where(needs & (bks == bk) & (keys == k),
-                                    o, 0.0)
+                                    o, zero)
             df = df.copy()
             df[out_col] = df[out_col] + adj
-        # boundary totals ride through float64: exact below 2^53 —
-        # far beyond any realistic per-key running count/cents sum
-        res_int = val_col is None or \
-            pd.api.types.is_integer_dtype(df[val_col])
         df = df.drop(columns=_HELPERS)
         if res_int:
             df[out_col] = df[out_col].astype("int64")

@@ -80,3 +80,24 @@ def test_running_sum_empty(ray_session):
     got = running_sum(rd.from_pandas(df), "user_id", ["ts"],
                       "event_id", val_col="cents")
     assert got.count() == 0
+
+
+def test_int64_exact_beyond_float53(ray_session):
+    # boundary offsets must be bit-exact int64: values near 2^60 lose
+    # low bits if the totals ride through float64 (2^53 mantissa)
+    n = 40
+    big = np.int64(1) << 60
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.Series(pd.Timestamp("2024-01-01")
+                        + pd.to_timedelta(np.arange(n), unit="s"))
+        .astype("datetime64[us]"),
+        # one huge value per block + odd remainders that float64 drops
+        "cents": np.where(np.arange(n) % 5 == 0, big, 3).astype(np.int64)})
+    got = running_sum(rd.from_pandas(df).repartition(8), "user_id",
+                      ["ts"], "event_id", val_col="cents").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = df["cents"].cumsum()
+    assert got["running"].dtype == np.int64
+    assert (got["running"].to_numpy() == want.to_numpy()).all()
