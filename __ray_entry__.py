@@ -676,6 +676,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["delta_us"] = out["delta_us"].astype("int64")
         return out.sort_values("event_id").reset_index(drop=True)
 
+    def user_window_suite(sf_dir):
+        """Shared-sort window family (ops/window.py:window_suite): LAG
+        delta + ROW_NUMBER + running cents sum over ONE global sort —
+        the 100 TB shape for a pipeline that needs several window ops
+        on the same (key, order) window.  All cross-block dependencies
+        resolve from an O(blocks) boundary table; integer sums ride
+        int64 end-to-end.  Oracle: the three window twins in one
+        WINDOW clause."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from medcat_ray.ops.window import window_suite
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"],
+                                                    100.0), 0.5)),
+                        pa.int64())
+            return batch.drop_columns(["value"]).append_column("cents", c)
+
+        out = window_suite(ds.map_batches(cents, batch_format="pyarrow"),
+                           val_col="cents").to_pandas()
+        out["delta_us"] = out["delta_us"].astype("int64")
+        out["rn"] = out["rn"].astype("int64")
+        out["running"] = out["running"].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
     def doc_len_ntile(sf_dir):
         """Exact ntile bucketing (ops/window.py): quartile boundaries
         from the cardinality-sized histogram (ops/quantiles.py discrete
@@ -2386,9 +2415,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdb_stats": cdb_stats_query,
         "events_asof_orders": events_asof_orders,
         "kg_entities_filtered": docs_kg.kg_entities_filtered,
-        # --- past the 50-query driver window: kg_train_merge is new in
-        # r5 (self-swept green at sf0.01, see ROADMAP round-5 log) ---
+        # --- past the 50-query driver window: kg_train_merge and
+        # user_window_suite are new in r5 (self-swept green at sf0.01,
+        # see ROADMAP round-5 log) ---
         "kg_train_merge": kg_train_merge,
+        "user_window_suite": user_window_suite,
         "kg_entities_hard": docs_kg.kg_entities_hard,
         "kg_entities_spell": docs_kg.kg_entities_spell,
         "kg_entities_lemma_gated": docs_kg.kg_entities_lemma_gated,
@@ -3755,6 +3786,16 @@ SELECT event_id, user_id, ts,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
            ts) AS BIGINT), -1) AS delta_us
 FROM events ORDER BY event_id
+""",
+        "user_window_suite": """
+SELECT event_id, user_id, ts,
+       COALESCE(CAST(date_diff('microsecond', lag(ts) OVER w, ts)
+                     AS BIGINT), -1) AS delta_us,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+         AS running
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
 """,
         "doc_len_ntile": """
 WITH c AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1),

@@ -72,3 +72,66 @@ def test_pivot_counts_matches_crosstab(ray_session):
         assert (got[f"n_{c}"].to_numpy()
                 == want[c].to_numpy()).all()
     assert list(got.columns) == ["user_id", "n_buy", "n_click", "n_view"]
+
+
+def test_window_suite_matches_sql(ray_session):
+    from medcat_ray.ops.window import window_suite
+    df = _events(150, users=6, seed=9)
+    df["cents"] = np.random.default_rng(5).integers(-50, 500, len(df)) \
+        .astype(np.int64)
+    got = window_suite(rd.from_pandas(df).repartition(7),
+                       val_col="cents").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+SELECT event_id, user_id, ts,
+       COALESCE(CAST(date_diff('microsecond',
+           lag(ts) OVER w, ts) AS BIGINT), -1) AS delta_us,
+       ROW_NUMBER() OVER w AS rn,
+       SUM(cents) OVER w AS running
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id""").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype({"delta_us": "int64", "rn": "int64",
+                    "running": "int64"}),
+        want.astype({"delta_us": "int64", "rn": "int64",
+                     "running": "int64", "ts": "datetime64[us]"}))
+    assert len(got) == len(df)
+
+
+def test_window_suite_single_row_blocks_and_spans(ray_session):
+    from medcat_ray.ops.window import window_suite
+    # one dominant key spanning many 1-row-ish blocks + int64 exactness
+    n = 60
+    big = np.int64(1) << 60
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.where(np.arange(n) % 12 == 0, 1, 0)
+        .astype(np.int64),
+        "ts": pd.Series(pd.Timestamp("2024-01-01")
+                        + pd.to_timedelta(np.arange(n), unit="s"))
+        .astype("datetime64[us]"),
+        "cents": np.where(np.arange(n) % 7 == 0, big, 3)
+        .astype(np.int64)})
+    got = window_suite(rd.from_pandas(df).repartition(20),
+                       val_col="cents").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["running"].dtype == np.int64
+    # python-side exact twin
+    want_run = df.groupby("user_id")["cents"].cumsum()
+    want_rn = df.groupby("user_id").cumcount() + 1
+    assert (got["running"].to_numpy() == want_run.to_numpy()).all()
+    assert (got["rn"].to_numpy() == want_rn.to_numpy()).all()
+    us = df["ts"].astype("int64")
+    prev = us.groupby(df["user_id"]).shift()
+    want_d = (us - prev).fillna(-1).astype("int64")
+    assert (got["delta_us"].to_numpy() == want_d.to_numpy()).all()
+
+
+def test_window_suite_no_val(ray_session):
+    from medcat_ray.ops.window import window_suite
+    df = _events(40, users=3, seed=1)
+    got = window_suite(rd.from_pandas(df).repartition(5)).to_pandas()
+    assert "running" not in got.columns
+    assert len(got) == 40
