@@ -2420,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # see ROADMAP round-5 log) ---
         "kg_train_merge": kg_train_merge,
         "user_window_suite": user_window_suite,
+        "kg_pmi_edges": docs_kg.kg_pmi_edges,
         "kg_entities_hard": docs_kg.kg_entities_hard,
         "kg_entities_spell": docs_kg.kg_entities_spell,
         "kg_entities_lemma_gated": docs_kg.kg_entities_lemma_gated,
@@ -3058,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
                                               entities_oracle_sql,
                                               mentions_oracle_sql,
                                               pages_flagship_oracle_sql,
+                                              pmi_edges_oracle_sql,
                                               triple_counts_oracle_sql)
 
     kg_triples_sql = (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
@@ -3111,6 +3113,7 @@ FROM counts
         "kg_mentions": mentions_oracle_sql(),
         "kg_triples": kg_triples_sql,
         "kg_triple_counts": triple_counts_oracle_sql(),
+        "kg_pmi_edges": pmi_edges_oracle_sql(),
         "kg_typed_triples": typed_triples_oracle_sql(),
         "kg_meta": meta_oracle_sql(),
         # identical oracle: the RayPipe-composed plan must equal the

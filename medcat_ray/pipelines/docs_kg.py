@@ -573,6 +573,20 @@ def kg_entities(sf_dir: str) -> rd.Dataset:
     return ents.map_batches(project, batch_format="pyarrow")
 
 
+def kg_pmi_edges(sf_dir: str, window: int = 300) -> pd.DataFrame:
+    """PMI/NPMI-weighted co-occurrence edges (ops/pmi.py over the
+    distributed pair counts): the KG edge-weighting step — raw counts
+    overweight head concepts; PMI corrects by the pair-table marginals.
+    Marginals here are concept-space-sized → the auto-gate picks the
+    broadcast probe; the join twin is unit-proven equal."""
+    from medcat_ray.ops.pmi import pmi_edges
+    tc = kg.triple_counts(_annotated(sf_dir), window=window,
+                          key_column="doc_id", mode="tree")
+    out = pmi_edges(tc).to_pandas()
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
+
+
 def kg_mentions(sf_dir: str) -> pd.DataFrame:
     """(cui, n_mentions) over the corpus."""
     ents = kg.entities(_annotated(sf_dir), key_column="doc_id")
@@ -919,6 +933,34 @@ def entities_oracle_sql() -> str:
 def mentions_oracle_sql() -> str:
     return (TOKEN_CTE.format(concepts=concept_values_sql())
             + "SELECT cui, count(*) AS n_mentions FROM ents GROUP BY cui")
+
+
+def pmi_edges_oracle_sql(window: int = 300) -> str:
+    """Pair counts re-derived in SQL (the kg_triple_counts arithmetic),
+    then PMI/NPMI from the in-SQL marginals — the ops/pmi.py math."""
+    return (TOKEN_CTE.format(concepts=concept_values_sql()) + f"""
+, tc AS (
+  SELECT s.cui AS subj_cui,
+         'co_occurs_with' AS pred,
+         o.cui AS obj_cui,
+         count(*) AS count
+  FROM ents s JOIN ents o
+    ON s.doc_id = o.doc_id
+   AND o.start_pos > s.start_pos
+   AND o.start_pos - s.start_pos <= {window}
+   AND s.source_value <> o.source_value
+  GROUP BY s.cui, o.cui
+), tot AS (SELECT SUM(count) AS t FROM tc),
+rs AS (SELECT subj_cui, SUM(count) AS c_s FROM tc GROUP BY subj_cui),
+cs AS (SELECT obj_cui, SUM(count) AS c_o FROM tc GROUP BY obj_cui)
+SELECT tc.subj_cui, tc.pred, tc.obj_cui,
+       CAST(tc.count AS BIGINT) AS count,
+       LN(tc.count * 1.0 * tot.t / (rs.c_s * cs.c_o)) AS pmi,
+       CASE WHEN tc.count >= tot.t THEN 1.0
+            ELSE LN(tc.count * 1.0 * tot.t / (rs.c_s * cs.c_o))
+                 / (-LN(tc.count * 1.0 / tot.t)) END AS npmi
+FROM tc JOIN rs USING (subj_cui) JOIN cs USING (obj_cui) CROSS JOIN tot
+""")
 
 
 def triple_counts_oracle_sql(window: int = 300) -> str:
