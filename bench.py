@@ -388,6 +388,31 @@ def run_bench() -> dict:
         bfs_levels(ds.map_batches(mk_edges, batch_format="pyarrow")).count()
     timed("bfs_levels", _bfs)
 
+    def _pmi():
+        from medcat_ray.ops.pmi import pmi_edges
+        from medcat_ray.pipelines import kg
+        from medcat_ray.pipelines.docs_kg import _annotated
+        edges = kg.triple_counts(_annotated(SF_DIR), window=300,
+                                 key_column="doc_id", mode="tree")
+        pmi_edges(edges).count()
+    timed("kg_pmi_edges", _pmi)
+
+    def _window_suite():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from medcat_ray.ops.window import window_suite
+        ev = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0),
+                                        0.5)), pa.int64())
+            return b.drop_columns(["value"]).append_column("cents", c)
+        window_suite(ev.map_batches(cents, batch_format="pyarrow"),
+                     val_col="cents").count()
+    timed("window_suite", _window_suite)
+
     def _invindex():
         import tempfile
         from medcat_ray.ops.invindex import (build_inverted_index,
