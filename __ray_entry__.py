@@ -2421,6 +2421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_train_merge": kg_train_merge,
         "user_window_suite": user_window_suite,
         "kg_pmi_edges": docs_kg.kg_pmi_edges,
+        # rows-only by design: SVD isn't SQL-derivable (see docstring)
+        "kg_concept_embeddings": docs_kg.kg_concept_embeddings,
         "kg_entities_hard": docs_kg.kg_entities_hard,
         "kg_entities_spell": docs_kg.kg_entities_spell,
         "kg_entities_lemma_gated": docs_kg.kg_entities_lemma_gated,

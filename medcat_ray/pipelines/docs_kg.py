@@ -587,6 +587,19 @@ def kg_pmi_edges(sf_dir: str, window: int = 300) -> pd.DataFrame:
     return out.sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
 
 
+def kg_concept_embeddings(sf_dir: str, dim: int = 8,
+                          window: int = 300) -> pd.DataFrame:
+    """(cui, embedding) — PPMI+SVD over the distributed pair counts
+    (ops/graph_embed.py, Levy & Goldberg 2014).  Deterministic
+    (sign-fixed SVD) but not SQL-derivable: no oracle entry — rows-only
+    driver check; the math is unit-proven (full-rank spectral identity,
+    planted-cluster ranking, determinism across partitionings)."""
+    from medcat_ray.ops.graph_embed import concept_embeddings
+    tc = kg.triple_counts(_annotated(sf_dir), window=window,
+                          key_column="doc_id", mode="tree")
+    return concept_embeddings(tc, dim=dim)
+
+
 def kg_mentions(sf_dir: str) -> pd.DataFrame:
     """(cui, n_mentions) over the corpus."""
     ents = kg.entities(_annotated(sf_dir), key_column="doc_id")
