@@ -84,3 +84,22 @@ def test_pmi_auto_gate(ray_session):
         .sort_values(["subj_cui", "obj_cui"]).reset_index(drop=True)
     b = _run(df, "broadcast")
     pd.testing.assert_frame_equal(b, a[b.columns])
+
+
+def test_pmi_randomized_twins(ray_session):
+    for seed in (31, 32, 33):
+        rng = np.random.default_rng(seed)
+        n_s, n_o = int(rng.integers(2, 25)), int(rng.integers(2, 25))
+        df = _pairs(n_s, n_o, seed=seed)
+        if df.empty:
+            continue
+        got = _run(df, "broadcast")
+        t = df["count"].sum()
+        cs = df.groupby("subj_cui")["count"].sum()
+        co = df.groupby("obj_cui")["count"].sum()
+        want = df.sort_values(["subj_cui", "obj_cui"]) \
+            .reset_index(drop=True)
+        pmi = np.log(want["count"].to_numpy() * t
+                     / (cs[want["subj_cui"]].to_numpy()
+                        * co[want["obj_cui"]].to_numpy()))
+        assert np.allclose(got["pmi"].to_numpy(), pmi, rtol=1e-12), seed

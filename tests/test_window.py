@@ -135,3 +135,33 @@ def test_window_suite_no_val(ray_session):
     got = window_suite(rd.from_pandas(df).repartition(5)).to_pandas()
     assert "running" not in got.columns
     assert len(got) == 40
+
+
+def test_window_suite_randomized_twins(ray_session):
+    from medcat_ray.ops.window import window_suite
+    for seed in (21, 22, 23, 24):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(30, 220))
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, int(rng.integers(1, 9)), n)
+            .astype(np.int64),
+            "ts": pd.Series(pd.Timestamp("2024-01-01") + pd.to_timedelta(
+                np.cumsum(rng.integers(0, 900, n)), unit="s"))
+            .astype("datetime64[us]"),
+            "cents": rng.integers(-9, 9, n).astype(np.int64)})
+        parts = int(rng.integers(1, 14))
+        got = window_suite(rd.from_pandas(df).repartition(parts),
+                           val_col="cents").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        srt = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        want_run = srt.groupby("user_id")["cents"].cumsum()
+        want_rn = srt.groupby("user_id").cumcount() + 1
+        us = srt["ts"].astype("int64")
+        want_d = (us - us.groupby(srt["user_id"]).shift()) \
+            .fillna(-1).astype("int64")
+        back = srt.assign(_run=want_run, _rn=want_rn, _d=want_d) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert (got["running"].to_numpy() == back["_run"].to_numpy()).all(), seed
+        assert (got["rn"].to_numpy() == back["_rn"].to_numpy()).all(), seed
+        assert (got["delta_us"].to_numpy() == back["_d"].to_numpy()).all(), seed
