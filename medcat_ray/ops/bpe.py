@@ -153,6 +153,21 @@ def merge_symbols(syms: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+def segment_word(word: str, rules: list[tuple[str, str]],
+                 cache: dict[str, list[str]]) -> list[str]:
+    """Memoized merge-chain segmentation of one word — the ONE shared
+    implementation behind bpe_encode and TokenizerWrapperBPE (the `a in
+    s` prescreen skips rules whose left symbol is absent)."""
+    s = cache.get(word)
+    if s is None:
+        s = list(word)
+        for a, b in rules:
+            if a in s:
+                s = merge_symbols(s, a, b)
+        cache[word] = s
+    return s
+
+
 def _apply_merge(vocab: rd.Dataset, a: str, b: str) -> rd.Dataset:
     pat = f" {a} {b} "
     def _apply(batch: pa.Table) -> pa.Table:
@@ -201,14 +216,7 @@ def bpe_encode(ds: rd.Dataset, merges: list[tuple[str, str, int]],
         cache: dict[str, list[str]] = {}
 
         def seg(word: str) -> list[str]:
-            s = cache.get(word)
-            if s is None:
-                s = list(word)
-                for a, b in rules:
-                    if a in s:
-                        s = merge_symbols(s, a, b)
-                cache[word] = s
-            return s
+            return segment_word(word, rules, cache)
 
         n_tok, n_dis = [], []
         for t in batch[text_col].to_pylist():

@@ -8,13 +8,12 @@ Input: the pair-count table ``(subj, obj, count)`` from
 (annotate → partial counts → merge) already happened; this operator's
 exchanges are all model-sized.
 
-Scale assumption (same as ``ops/pagerank.py``'s exact path): the
-CONCEPT space is node-sized — a clinical CDB is 10^5..10^6 CUIs, so the
-PPMI matrix (sparse) and its rank-``dim`` factorization fit on the
-driver even when the corpus is 10^12 documents; the corpus-sized work
-never runs here.  For an open-world token vocabulary use a hashed/
-bucketed variant upstream (cap the vocabulary before pairing) — a
-distributed randomized SVD is out of scope and documented as such.
+Scale assumption: the implementation is a DENSE n×n float64 matrix +
+full LAPACK SVD, so it is practical to roughly n ≈ 20k concepts
+(3.2 GB, minutes of O(n³)); ``max_vocab`` fails loudly beyond that.
+The corpus-sized work (annotate → pair counts) never runs here, but a
+full 10^5..10^6-CUI ontology needs a sparse/truncated (randomized) SVD
+— out of scope; cap or bucket the vocabulary upstream first.
 
 Determinism: LAPACK SVD is sign-ambiguous per singular vector; each
 column is flipped so its largest-|magnitude| entry is positive
@@ -35,11 +34,15 @@ def concept_embeddings(pairs: rd.Dataset, dim: int = 32,
                        subj_col: str = "subj_cui",
                        obj_col: str = "obj_cui",
                        count_col: str = "count",
-                       symmetrize: bool = True) -> pd.DataFrame:
+                       symmetrize: bool = True,
+                       max_vocab: int = 20_000) -> pd.DataFrame:
     """(cui, embedding list<float64>) from rank-``dim`` SVD of the PPMI
-    matrix.  ``symmetrize=True`` folds count(s,o)+count(o,s) so the
-    matrix is symmetric and one vector per concept suffices (the
-    subject- and object-role vocabularies are unioned either way).
+    matrix.  ``symmetrize=True`` takes the element-wise MAX of the
+    directed PPMI cells (``max(PPMI(s,o), PPMI(o,s))``) — NOT a fold of
+    the raw counts — so the matrix is symmetric and one vector per
+    concept suffices; fold counts upstream if count-folding semantics
+    are wanted.  Raises when the concept vocabulary exceeds
+    ``max_vocab`` (dense-SVD bound, see module docstring).
 
     Embedding = U_k · sqrt(S_k) (the symmetric factorization); rows are
     L2-normalizable downstream but returned raw so dot products
@@ -53,6 +56,12 @@ def concept_embeddings(pairs: rd.Dataset, dim: int = 32,
     vocab = sorted(set(scored[subj_col]) | set(scored[obj_col]))
     idx = {c: i for i, c in enumerate(vocab)}
     n = len(vocab)
+    if n > max_vocab:
+        raise ValueError(
+            f"concept_embeddings: {n} concepts exceeds the dense-SVD "
+            f"bound max_vocab={max_vocab} (n*n float64 = "
+            f"{8 * n * n / 1e9:.1f} GB); cap or bucket the vocabulary "
+            "upstream, or use a sparse/randomized SVD")
     if n == 0:
         return pd.DataFrame({"cui": pd.Series([], dtype=object),
                              "embedding": pd.Series([], dtype=object)})

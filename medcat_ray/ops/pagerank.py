@@ -170,20 +170,12 @@ def pagerank_exact(edges: rd.Dataset, n_iter: int = 3,
     return pd.DataFrame({"node": nodes.to_numpy(), "pr": pr})
 
 
-def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
-                         scale: int = 10 ** 9,
-                         d_num: int = 85, d_den: int = 100,
-                         src_col: str = "src", dst_col: str = "dst",
-                         weight_col: Optional[str] = None,
-                         num_partitions: int = 16) -> rd.Dataset:
-    """Join-based exact integer PageRank for open-world node sets —
-    identical fixed-point arithmetic to :func:`pagerank_exact`, but the
-    node-sized state (node, od, pr) stays a Dataset: each round is ONE
-    hash join + ONE native groupby-Sum, nothing node-sized on the
-    driver.  Returns a (node, pr) Dataset."""
+def _out_degrees(edges: rd.Dataset, src_col: str, dst_col: str,
+                 weight_col: Optional[str]) -> rd.Dataset:
+    """Materialized (node, od) table: Σ out-weights per source, with a
+    zero-contribution row per destination so pure sinks keep a node row
+    (and hence the base term).  Validates weights ≥ 1 (fail-loud)."""
     from ray.data.aggregate import Sum
-
-    edges = edges.materialize()
     w_expr = weight_col
 
     def _tag(batch: pa.Table) -> pa.Table:
@@ -198,16 +190,35 @@ def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
                 raise ValueError(
                     "pagerank: edge weights must be >= 1 (a zero-weight "
                     f"source would divide by zero); got min={w.min()}")
-        # dst rows contribute 0 out-weight so pure sinks still get a
-        # node row (and hence the base term)
         return pa.table({
             "node": pa.concat_arrays([src, dst.cast(src.type)]),
             "w_out": pa.array(np.concatenate(
                 [w, np.zeros(batch.num_rows, dtype=np.int64)]))})
 
-    deg = edges.map_batches(_tag, batch_format="pyarrow") \
+    return edges.map_batches(_tag, batch_format="pyarrow") \
         .groupby("node").aggregate(Sum("w_out", alias_name="od")) \
         .materialize()
+
+
+def pagerank_distributed(edges: rd.Dataset, n_iter: int = 3,
+                         scale: int = 10 ** 9,
+                         d_num: int = 85, d_den: int = 100,
+                         src_col: str = "src", dst_col: str = "dst",
+                         weight_col: Optional[str] = None,
+                         num_partitions: int = 16,
+                         deg: Optional[rd.Dataset] = None) -> rd.Dataset:
+    """Join-based exact integer PageRank for open-world node sets —
+    identical fixed-point arithmetic to :func:`pagerank_exact`, but the
+    node-sized state (node, od, pr) stays a Dataset: each round is ONE
+    hash join + ONE native groupby-Sum, nothing node-sized on the
+    driver.  ``deg`` accepts a precomputed :func:`_out_degrees` table
+    (the auto-gate passes its own so the degree shuffle runs once).
+    Returns a (node, pr) Dataset."""
+    from ray.data.aggregate import Sum
+    edges = edges.materialize()
+    w_expr = weight_col
+    if deg is None:
+        deg = _out_degrees(edges, src_col, dst_col, weight_col)
     n = deg.count()
     if n == 0:
         return rd.from_arrow(pa.table(
@@ -306,18 +317,14 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, scale: int = 10 ** 9,
     concept-graph-sized node sets (≤ ``driver_limit``) or the join-based
     distributed rounds for open-world graphs — the ``bfs_levels`` gate
     shape.  Both paths are unit-tested bit-identical."""
+    deg = None
     if method == "auto":
-        from ray.data.aggregate import Count
+        # the gate's node count IS the degree table's cardinality —
+        # compute (node, od) once here and hand it to the distributed
+        # path so the gate costs no extra shuffle over the edges
         edges = edges.materialize()
-
-        def _nodes(batch: pa.Table) -> pa.Table:
-            s = batch[src_col].combine_chunks()
-            d = batch[dst_col].combine_chunks()
-            return pa.table(
-                {"node": pa.concat_arrays([s, d.cast(s.type)])})
-        n = edges.map_batches(_nodes, batch_format="pyarrow") \
-            .groupby("node").aggregate(Count(alias_name="_n")) \
-            .materialize().count()
+        deg = _out_degrees(edges, src_col, dst_col, weight_col)
+        n = deg.count()
         method = "driver" if n <= driver_limit else "distributed"
     if method == "driver":
         return rd.from_pandas(pagerank_exact(
@@ -326,4 +333,4 @@ def pagerank(edges: rd.Dataset, n_iter: int = 3, scale: int = 10 ** 9,
     return pagerank_distributed(
         edges, n_iter=n_iter, scale=scale, d_num=d_num, d_den=d_den,
         src_col=src_col, dst_col=dst_col, weight_col=weight_col,
-        num_partitions=num_partitions)
+        num_partitions=num_partitions, deg=deg)

@@ -57,6 +57,14 @@ def pmi_edges(pairs: rd.Dataset, subj_col: str = "subj_cui",
     pairs = pairs.materialize()
     agg = pairs.aggregate(Sum(count_col, alias_name="t"))
     if not agg or agg.get("t") is None:
+        # Sum yields t=None both for an EMPTY dataset (fine: pass the
+        # empty stream through with empty score columns) and for a
+        # non-empty dataset whose count column is all-null (fail loud —
+        # scores would be undefined on real rows)
+        if pairs.count() > 0:
+            raise ValueError(
+                f"pmi_edges: '{count_col}' sums to NULL over a non-empty "
+                "pair table (all-null counts?)")
         return pairs.map_batches(_empty_scores(subj_col, obj_col,
                                                count_col),
                                  batch_format="pyarrow")

@@ -91,7 +91,7 @@ def triangle_counts(edges: rd.Dataset, src_col: str = "src",
                     max_degree: Optional[int] = None,
                     broadcast_limit: int = 5_000_000,
                     method: str = "auto",
-                    driver_limit: int = 1_000_000) -> rd.Dataset:
+                    driver_limit: int = 50_000) -> rd.Dataset:
     """(node, triangles) for every vertex in ≥1 triangle.
 
     ``max_degree``: if set, vertices with degree > ``max_degree`` are
@@ -104,7 +104,12 @@ def triangle_counts(edges: rd.Dataset, src_col: str = "src",
     ≤ ``driver_limit``-edge canonical table runs the same oriented
     algorithm on the driver (the 4-join distributed plan costs ~10
     barrier ops of pure fixed overhead on a small graph), anything
-    larger runs the distributed joins.  Both paths unit-tested equal."""
+    larger runs the distributed joins.  Both paths unit-tested equal.
+    The default limit is deliberately conservative (50k edges): the
+    driver twin's wedge closure is interpreted Python + per-tail
+    np.isin — near-instant at 10^4 edges but a single-threaded cliff
+    well before 10^6 — while the distributed plan's fixed overhead is
+    seconds regardless of size."""
     def canonical(batch: pa.Table) -> pa.Table:
         a = batch[src_col].combine_chunks()
         b = batch[dst_col].combine_chunks()

@@ -112,9 +112,7 @@ def create_models(config_file: str
     result = train_unsupervised_distributed(
         corpus, (cdb, vocab), config,
         concurrency=int(creator.get("train_concurrency", 2)))
-    apply_training(cdb, result)
-    for cui, entry in result.items():
-        cdb.cui2count_train[cui] = entry["count"]
+    apply_training(cdb, result)   # installs vectors AND cui2count_train
 
     pack_path = os.path.join(out_dir, "model_pack")
     save_model_pack(pack_path, cdb, vocab, config)

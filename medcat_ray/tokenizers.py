@@ -76,6 +76,11 @@ class TokenizerWrapperBPE(TokenizerWrapperBase):
                  token2id: Optional[Dict[str, int]] = None) -> None:
         self.merges = [tuple(m[:2]) for m in (merges or [])]
         self.token2id = dict(token2id or {})
+        # the learned vocab has no full byte coverage (unlike the
+        # reference's byte-level BPE), so UNK is reachable — it MUST
+        # have its own id or unknown symbols would collide with padding
+        if UNK_TOKEN not in self.token2id:
+            self.token2id[UNK_TOKEN] = len(self.token2id)
         if PAD_TOKEN not in self.token2id:
             self.token2id[PAD_TOKEN] = len(self.token2id)
         self._seg_cache: Dict[str, List[str]] = {}
@@ -97,27 +102,19 @@ class TokenizerWrapperBPE(TokenizerWrapperBase):
 
     # -- encode --------------------------------------------------------
     def _segment(self, word: str) -> List[str]:
-        from medcat_ray.ops.bpe import merge_symbols
-        s = self._seg_cache.get(word)
-        if s is None:
-            s = list(word)
-            for a, b in self.merges:
-                if a in s:
-                    s = merge_symbols(s, a, b)
-            self._seg_cache[word] = s
-        return s
+        from medcat_ray.ops.bpe import segment_word
+        return segment_word(word, self.merges, self._seg_cache)
 
     def _encode(self, text: str) -> Dict:
         offsets: List[Tuple[int, int]] = []
         ids: List[int] = []
         tokens: List[str] = []
-        unk = self.token2id.get(UNK_TOKEN)
+        unk = self.token2id[UNK_TOKEN]
         for m in WORD_RE.finditer((text or "").lower()):
             pos = m.start()
             for sym in self._segment(m.group(0)):
                 offsets.append((pos, pos + len(sym)))
-                tid = self.token2id.get(sym, unk)
-                ids.append(self.get_pad_id() if tid is None else tid)
+                ids.append(self.token2id.get(sym, unk))
                 tokens.append(sym)
                 pos += len(sym)
         return {"offset_mapping": offsets, "input_ids": ids,

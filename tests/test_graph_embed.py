@@ -85,3 +85,10 @@ def test_empty(ray_session):
     df = _pairs().iloc[:0]
     out = concept_embeddings(rd.from_pandas(df), dim=4)
     assert len(out) == 0
+
+
+def test_max_vocab_fail_loud(ray_session):
+    import pytest
+    df = _pairs()
+    with pytest.raises(ValueError, match="max_vocab"):
+        concept_embeddings(rd.from_pandas(df), dim=4, max_vocab=3)

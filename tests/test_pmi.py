@@ -103,3 +103,11 @@ def test_pmi_randomized_twins(ray_session):
                      / (cs[want["subj_cui"]].to_numpy()
                         * co[want["obj_cui"]].to_numpy()))
         assert np.allclose(got["pmi"].to_numpy(), pmi, rtol=1e-12), seed
+
+
+def test_pmi_all_null_counts_fail_loud(ray_session):
+    import pytest
+    df = pd.DataFrame({"subj_cui": ["A", "B"], "obj_cui": ["B", "C"],
+                       "count": pd.array([None, None], dtype="Int64")})
+    with pytest.raises(Exception, match="NULL|null"):
+        pmi_edges(rd.from_pandas(df)).to_pandas()

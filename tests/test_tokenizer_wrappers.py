@@ -62,3 +62,16 @@ def test_vocab_wrapper_contract(tmp_path):
     sc = BiLSTMMetaScorer("Negation", m, wtok.token2id,
                           {0: "Affirmed", 1: "Negated"})
     assert sc.score(["slow"], [], ["fast"]) == ("Negated", 1.0)
+
+
+def test_bpe_unknown_symbol_is_unk_not_pad():
+    # the learned vocab has no byte coverage: an unseen character must
+    # map to <UNK>'s own id, never collide with <PAD>
+    from medcat_ray.tokenizers import TokenizerWrapperBPE
+    tok = TokenizerWrapperBPE(merges=[("a", "b")],
+                              token2id={"ab": 0, "x": 1, "y": 2})
+    out = tok("x7y")
+    unk = tok.token2id["<UNK>"]
+    assert out["input_ids"][1] == unk
+    assert unk != tok.get_pad_id()
+    assert out["input_ids"][0] == 1 and out["input_ids"][2] == 2
